@@ -1,0 +1,246 @@
+"""Batched camera models with analytic projection Jacobians.
+
+TPU-native analog of the reference camera-model layer
+(reference: src/energy/camera_model/ — pinhole_camera.hpp:21, simple_radial.hpp,
+camera_model_base.hpp).  Behavior parity:
+
+* projection validity = depth >= kMinDepth and pixel inside the image minus a
+  kBorderSize margin (camera_model_base.hpp:123 region);
+* pyramid-level models divide focal length and principal point by the scale
+  (pinhole_camera.hpp:37-41 — no half-pixel shift);
+* SimpleRadial distorts radially: r_d = r (1 + k1 r^2 + k2 r^4), with a
+  maximum valid radius where the distortion stops being monotonic
+  (simple_radial.hpp:53-82).
+
+Design differences from the reference: models are immutable pytrees whose
+intrinsics may carry arbitrary leading batch dimensions; project/unproject are
+vectorized over points and never branch — validity is returned as a mask, to
+be folded into residual masks (the fixed-shape TPU idiom replacing the
+reference's bool returns).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+# Reference constants (camera_model_base.hpp).
+BORDER_SIZE = 4.0
+MIN_DEPTH = 1e-3
+MIN_IDEPTH = -1e-4
+MAX_IDEPTH = 1.0 / MIN_DEPTH + 10.0
+
+
+def _inside_roi(uv, image_size, border):
+    """uv [..., 2] within [border, size - border - 1]."""
+    lo = jnp.asarray(border, uv.dtype)
+    hi = image_size - border - 1.0
+    return jnp.all((uv >= lo) & (uv <= hi), axis=-1)
+
+
+def valid_idepth(idepth):
+    return (idepth > MIN_IDEPTH) & (idepth < MAX_IDEPTH)
+
+
+class Pinhole(NamedTuple):
+    """Pinhole model: uv = f * xy/z + c.
+
+    Fields broadcast against point batches; ``image_size`` is (width, height).
+    """
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    image_size: jnp.ndarray  # [..., 2] (w, h)
+
+    @staticmethod
+    def create(image_size, focal, principal, dtype=jnp.float32) -> "Pinhole":
+        fx, fy = focal
+        cx, cy = principal
+        return Pinhole(
+            jnp.asarray(fx, dtype), jnp.asarray(fy, dtype),
+            jnp.asarray(cx, dtype), jnp.asarray(cy, dtype),
+            jnp.asarray(image_size, dtype),
+        )
+
+    def scaled(self, scale) -> "Pinhole":
+        """Model for a pyramid level downscaled by ``scale`` (2**level)."""
+        s = jnp.asarray(scale, self.fx.dtype)
+        return Pinhole(
+            self.fx / s, self.fy / s, self.cx / s, self.cy / s,
+            self.image_size / s,
+        )
+
+    def project(self, p3d, border=BORDER_SIZE):
+        """[..., 3] → (uv [..., 2], valid [...])."""
+        z = p3d[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        u = self.fx * p3d[..., 0] / z_safe + self.cx
+        v = self.fy * p3d[..., 1] / z_safe + self.cy
+        uv = jnp.stack([u, v], axis=-1)
+        valid = (z >= MIN_DEPTH) & _inside_roi(uv, self.image_size, border)
+        return uv, valid
+
+    def project_jacobian(self, p3d, border=BORDER_SIZE):
+        """[..., 3] → (uv, J=d(uv)/d(p3d) [..., 2, 3], valid).
+
+        Analytic form mirrors reference pinhole_camera.hpp:101-129.
+        """
+        x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        iz = 1.0 / z_safe
+        iz2 = iz * iz
+        uv = jnp.stack([self.fx * x * iz + self.cx, self.fy * y * iz + self.cy], -1)
+        zero = jnp.zeros_like(x)
+        j = jnp.stack(
+            [
+                self.fx * iz, zero, -self.fx * x * iz2,
+                zero, self.fy * iz, -self.fy * y * iz2,
+            ],
+            axis=-1,
+        ).reshape(x.shape + (2, 3))
+        valid = (z >= MIN_DEPTH) & _inside_roi(uv, self.image_size, border)
+        return uv, j, valid
+
+    def unproject(self, uv):
+        """[..., 2] → ray [..., 3] with z = 1 (reference 'image plane vector')."""
+        x = (uv[..., 0] - self.cx) / self.fx
+        y = (uv[..., 1] - self.cy) / self.fy
+        return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+    def unproject_valid(self, uv, border=BORDER_SIZE):
+        return self.unproject(uv), _inside_roi(uv, self.image_size, border)
+
+    @property
+    def focal(self):
+        return jnp.stack([self.fx, self.fy], axis=-1)
+
+
+class SimpleRadial(NamedTuple):
+    """Single-focal radial model: f, cx, cy, k1, k2 (reference simple_radial.hpp).
+
+    Distortion on the normalized plane: r_d = r (1 + k1 r^2 + k2 r^4).
+    Outside the monotonic range (past ``max_valid_radius``) the reference
+    extends linearly; here projections past it are just marked invalid, which
+    is equivalent for residual masking.
+    """
+
+    f: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    k1: jnp.ndarray
+    k2: jnp.ndarray
+    image_size: jnp.ndarray
+
+    @staticmethod
+    def create(image_size, f, principal, k1, k2, dtype=jnp.float32) -> "SimpleRadial":
+        cx, cy = principal
+        return SimpleRadial(
+            jnp.asarray(f, dtype), jnp.asarray(cx, dtype), jnp.asarray(cy, dtype),
+            jnp.asarray(k1, dtype), jnp.asarray(k2, dtype),
+            jnp.asarray(image_size, dtype),
+        )
+
+    def scaled(self, scale) -> "SimpleRadial":
+        s = jnp.asarray(scale, self.f.dtype)
+        # k1, k2 act on the normalized plane — invariant to pixel scaling.
+        return SimpleRadial(
+            self.f / s, self.cx / s, self.cy / s, self.k1, self.k2,
+            self.image_size / s,
+        )
+
+    def _max_valid_r2(self):
+        """Largest r^2 with d(r_d)/dr = 1 + 3 k1 r^2 + 5 k2 r^4 > 0.
+
+        Mirrors reference simple_radial.hpp:57-66 (smallest positive root of
+        the derivative polynomial; +inf when none).
+        """
+        k1, k2 = self.k1, self.k2
+        big = jnp.asarray(1e12, k1.dtype)
+        # k2 == 0: root of 1 + 3 k1 r^2 = 0 → r^2 = -1/(3 k1) if k1 < 0.
+        lin_root = jnp.where(k1 < 0, -1.0 / (3.0 * jnp.where(k1 < 0, k1, -1.0)), big)
+        disc = 9.0 * k1 * k1 - 20.0 * k2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        k2_safe = jnp.where(jnp.abs(k2) < 1e-12, 1.0, k2)
+        r1 = (-3.0 * k1 - sq) / (10.0 * k2_safe)
+        r2 = (-3.0 * k1 + sq) / (10.0 * k2_safe)
+        # smallest positive root among r1, r2 (they are candidate r^2 values)
+        pos_min = jnp.minimum(jnp.where(r1 > 0, r1, big), jnp.where(r2 > 0, r2, big))
+        quad_root = jnp.where(disc >= 0, pos_min, big)
+        return jnp.where(jnp.abs(self.k2) < 1e-12, lin_root, quad_root)
+
+    def _distort_factor(self, r2):
+        return 1.0 + self.k1 * r2 + self.k2 * r2 * r2
+
+    def project(self, p3d, border=BORDER_SIZE):
+        z = p3d[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        mx = p3d[..., 0] / z_safe
+        my = p3d[..., 1] / z_safe
+        r2 = mx * mx + my * my
+        factor = self._distort_factor(r2)
+        u = self.f * factor * mx + self.cx
+        v = self.f * factor * my + self.cy
+        uv = jnp.stack([u, v], axis=-1)
+        valid = (
+            (z >= MIN_DEPTH)
+            & (r2 <= self._max_valid_r2())
+            & _inside_roi(uv, self.image_size, border)
+        )
+        return uv, valid
+
+    def project_jacobian(self, p3d, border=BORDER_SIZE):
+        """Analytic d(uv)/d(p3d) via the distorted-plane chain rule."""
+        x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        iz = 1.0 / z_safe
+        mx, my = x * iz, y * iz
+        r2 = mx * mx + my * my
+        factor = self._distort_factor(r2)
+        dfac_dr2 = self.k1 + 2.0 * self.k2 * r2
+        # d(factor*m)/dm = factor*I + 2 dfac_dr2 * m mᵀ
+        a00 = factor + 2.0 * dfac_dr2 * mx * mx
+        a01 = 2.0 * dfac_dr2 * mx * my
+        a11 = factor + 2.0 * dfac_dr2 * my * my
+        # dm/dp3d = [[iz, 0, -x iz²], [0, iz, -y iz²]]
+        iz2 = iz * iz
+        j00 = self.f * (a00 * iz)
+        j01 = self.f * (a01 * iz)
+        j02 = self.f * (-(a00 * x + a01 * y) * iz2)
+        j10 = self.f * (a01 * iz)
+        j11 = self.f * (a11 * iz)
+        j12 = self.f * (-(a01 * x + a11 * y) * iz2)
+        uv = jnp.stack([self.f * factor * mx + self.cx, self.f * factor * my + self.cy], -1)
+        j = jnp.stack([j00, j01, j02, j10, j11, j12], axis=-1).reshape(x.shape + (2, 3))
+        valid = (
+            (z >= MIN_DEPTH)
+            & (r2 <= self._max_valid_r2())
+            & _inside_roi(uv, self.image_size, border)
+        )
+        return uv, j, valid
+
+    def unproject(self, uv, newton_iters: int = 10):
+        """Invert the radial distortion with fixed-iteration Newton (jittable).
+
+        Solves r (1 + k1 r² + k2 r⁴) = r_d for r, then rescales.
+        """
+        dx = (uv[..., 0] - self.cx) / self.f
+        dy = (uv[..., 1] - self.cy) / self.f
+        rd = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-30))
+        r = rd
+        for _ in range(newton_iters):
+            r2 = r * r
+            fval = r * (1.0 + self.k1 * r2 + self.k2 * r2 * r2) - rd
+            fprime = 1.0 + 3.0 * self.k1 * r2 + 5.0 * self.k2 * r2 * r2
+            fprime = jnp.where(jnp.abs(fprime) < 1e-8, 1e-8, fprime)
+            r = r - fval / fprime
+        scale = jnp.where(rd > 1e-12, r / rd, 1.0)
+        return jnp.stack([dx * scale, dy * scale, jnp.ones_like(dx)], axis=-1)
+
+    def unproject_valid(self, uv, border=BORDER_SIZE):
+        return self.unproject(uv), _inside_roi(uv, self.image_size, border)
+
+
+CAMERA_MODELS = {"pinhole": Pinhole, "simple_radial": SimpleRadial}
