@@ -1,0 +1,230 @@
+"""Frontend two-frame direct pose alignment (the J4 job).
+
+TPU-native analog of the reference ``EigenPoseAlignment``
+(reference: src/energy/problems/src/eigen_pose_alignment.cpp:28-275 —
+coarse-to-fine GN/LM over the semi-dense reference depth map with a
+1-pixel pattern, 6-DoF relative pose + 2 affine-brightness parameters,
+whole-point Huber, affine-brightness prior, LM driver
+levenberg_marquardt_algorithm.hpp:78).
+
+TPU-first redesign:
+
+* the per-level solve is ONE jitted ``lax.while_loop`` — residuals over all
+  N points are evaluated as a batch, the 8×8 normal system is two einsum
+  contractions, accept/reject is branch-free arithmetic on the carry;
+* the reference's sequential retry loop (~30 perturbed initializations with
+  energy gating, monocular_tracker.cpp:137-243) becomes a **batched
+  hypothesis axis**: all candidate initializations run the full
+  coarse-to-fine schedule simultaneously via ``vmap``, and the best final
+  energy wins — a strictly stronger search at the cost of already-idle
+  vector lanes;
+* masks and OOB handling are validity weights, not control flow.
+
+State update convention: the relative pose ``t_t_r`` is LEFT-incremented
+(t ← exp(δ)·t, like the reference's ``leftIncrement(step)``), affine
+parameters (a, b) of the target frame are additive.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dsopp_tpu.core.interpolate import sample
+from dsopp_tpu.core.lie import SE3
+from dsopp_tpu.core.reproject import reproject_jacobian
+from dsopp_tpu.solvers.measure import huber_energy_weight
+
+
+class AlignmentOptions(NamedTuple):
+    """LM options (reference fabric.cpp:126-160 defaults)."""
+
+    max_iterations: int = 50
+    initial_regularizer: float = 1e-2    # 1 / initial_trust_region_radius (1e2)
+    function_tolerance: float = 1e-5
+    parameter_tolerance: float = 1e-5
+    huber_sigma: float = 20.0            # kHuberLossSigma × √C
+    affine_reg_a: float = 1e12           # affine_brightness_regularizer (×C)
+    affine_reg_b: float = 1e8
+    reg_decrease: float = 2.0
+    reg_increase: float = 10.0
+
+
+class LevelPoints(NamedTuple):
+    """Semi-dense reference points at one pyramid level.
+
+    Built by the tracker from the keyframe depth map (create_depth_maps);
+    fixed slot count N with a validity mask.
+    """
+
+    uv: jnp.ndarray         # [N, 2] pixel coords at this level
+    idepth: jnp.ndarray     # [N]
+    intensity: jnp.ndarray  # [N] reference intensity at uv (this level)
+    valid: jnp.ndarray      # [N] bool
+
+
+class AlignmentResult(NamedTuple):
+    t_t_r: SE3
+    affine: jnp.ndarray     # [2] target (a, b)
+    energy: jnp.ndarray     # final energy (incl. priors)
+    num_valid: jnp.ndarray  # int, valid residual count
+    rmse: jnp.ndarray       # sqrt(mean residual energy) over valid points
+
+
+def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
+                     affine_ref, exposure_ratio, opts: AlignmentOptions,
+                     with_jacobian: bool):
+    """Batched residuals (and optionally the 8×8 GN system)."""
+    a_t, b_t = affine[0], affine[1]
+    a_r, b_r = affine_ref[0], affine_ref[1]
+    scale = exposure_ratio * jnp.exp(a_t - a_r)
+
+    rj = reproject_jacobian(model, model, pts.uv, pts.idepth, t_t_r)
+    patch, inside = sample(pixel_map, rj.uv)
+    intensity_t, gx, gy = patch[..., 0], patch[..., 1], patch[..., 2]
+
+    corrected_ref = scale * (pts.intensity - b_r)
+    r = (intensity_t - b_t) - corrected_ref
+    ok = pts.valid & rj.valid & inside
+
+    r2 = jnp.where(ok, r * r, 0.0)
+    energies, weights = huber_energy_weight(r2, opts.huber_sigma)
+    energies = jnp.where(ok, energies, 0.0)
+    weights = jnp.where(ok, weights, 0.0)
+
+    energy = jnp.sum(energies)
+    num_valid = jnp.sum(ok)
+    # affine prior on the absolute target affine state (state_priors.hpp)
+    reg = jnp.asarray([opts.affine_reg_a, opts.affine_reg_b], r.dtype)
+    energy = energy + 0.5 * jnp.sum(reg * affine * affine)
+
+    if not with_jacobian:
+        return energy, num_valid, energies
+
+    # d(uv)/d(left tangent of t_t_r) = −d_uv_d_eps_tgt  (see core.reproject)
+    duv = -rj.d_uv_d_eps_tgt                     # [N, 2, 6]
+    dr_dpose = gx[..., None] * duv[..., 0, :] + gy[..., None] * duv[..., 1, :]
+    dr_da = -corrected_ref
+    dr_db = -jnp.ones_like(r)
+    j = jnp.concatenate([dr_dpose, dr_da[..., None], dr_db[..., None]], axis=-1)
+
+    jw = j * weights[..., None]
+    h = jnp.einsum("ni,nj->ij", jw, j)
+    b = jnp.einsum("ni,n->i", jw, r)
+    # affine prior system
+    h = h.at[6, 6].add(reg[0]).at[7, 7].add(reg[1])
+    b = b.at[6].add(reg[0] * affine[0]).at[7].add(reg[1] * affine[1])
+    return energy, num_valid, (h, b)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def align_level(pts: LevelPoints, pixel_map, model, t_init: SE3, affine_init,
+                affine_ref, exposure_ratio, opts: AlignmentOptions = AlignmentOptions()):
+    """LM solve of one pyramid level (jitted; mirrors the reference LM driver)."""
+    dtype = pts.uv.dtype
+
+    def energy_of(t_q, t_t, affine):
+        e, n, _ = _residual_system(
+            pts, pixel_map, model, SE3(t_q, t_t), affine, affine_ref,
+            exposure_ratio, opts, with_jacobian=False,
+        )
+        return e, n
+
+    def linearize(t_q, t_t, affine):
+        _, _, (h, b) = _residual_system(
+            pts, pixel_map, model, SE3(t_q, t_t), affine, affine_ref,
+            exposure_ratio, opts, with_jacobian=True,
+        )
+        return h, b
+
+    e0, n0 = energy_of(t_init.q, t_init.t, affine_init)
+    h0 = jnp.zeros((8, 8), dtype)
+    b0 = jnp.zeros((8,), dtype)
+
+    # carry: q, t, affine, energy, n_valid, lm_reg, iter, done, h, b, need_relin
+    init = (t_init.q, t_init.t, affine_init, e0, n0,
+            jnp.asarray(opts.initial_regularizer, dtype),
+            jnp.asarray(0, jnp.int32), n0 == 0, h0, b0,
+            jnp.asarray(True))
+
+    def cond(carry):
+        _, _, _, _, _, _, it, done, _, _, _ = carry
+        return (it < opts.max_iterations) & ~done
+
+    def body(carry):
+        q, t, affine, e, n, reg, it, done, h, b, need_relin = carry
+        h, b = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(need_relin, new, old),
+            linearize(q, t, affine), (h, b),
+        )
+        # damped solve: (H + reg·diag(H)) δ = −b
+        diag = jnp.diagonal(h)
+        h_d = h + jnp.eye(8, dtype=dtype) * (reg * diag + 1e-24)[None, :]
+        step = -jnp.linalg.solve(h_d, b[:, None])[:, 0]
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+
+        t_new = SE3.exp(step[:6]) @ SE3(q, t)
+        affine_new = affine + step[6:]
+        e_new, n_new = energy_of(t_new.q, t_new.t, affine_new)
+
+        accept = (e_new < e) & (n_new > 0) & jnp.isfinite(e_new)
+        ftol = jnp.abs(e - e_new) / jnp.maximum(e, 1e-30) < opts.function_tolerance
+        state_sq = jnp.sum(affine * affine)
+        ptol = jnp.sum(step * step) < opts.parameter_tolerance * (
+            state_sq + opts.parameter_tolerance
+        )
+        converged = (ftol & jnp.isfinite(e_new)) | (accept & ptol)
+
+        q = jnp.where(accept, t_new.q, q)
+        t = jnp.where(accept, t_new.t, t)
+        affine = jnp.where(accept, affine_new, affine)
+        e = jnp.where(accept, e_new, e)
+        n = jnp.where(accept, n_new, n)
+        reg = jnp.where(accept, reg / opts.reg_decrease, reg * opts.reg_increase)
+        return (q, t, affine, e, n, reg, it + 1, done | converged, h, b, accept)
+
+    q, t, affine, e, n, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    rmse = jnp.sqrt(e / jnp.maximum(n, 1).astype(dtype))
+    return AlignmentResult(SE3(q, t), affine, e, n, rmse)
+
+
+def align_pyramid(points_per_level, pixel_maps, models, t_init: SE3, affine_init,
+                  affine_ref, exposure_ratio,
+                  opts: AlignmentOptions = AlignmentOptions(),
+                  first_level=None):
+    """Coarse-to-fine alignment over the pyramid.
+
+    ``points_per_level``: list of LevelPoints, index = level (0 finest).
+    ``pixel_maps``: target pyramid maps, ``models``: per-level camera models.
+    ``t_init`` may carry a leading hypothesis batch axis [B]; all hypotheses
+    are refined at every level via vmap, best final energy wins.
+    """
+    num_levels = len(points_per_level)
+    start = num_levels - 1 if first_level is None else first_level
+    batched = t_init.q.ndim == 2
+
+    t = t_init
+    affine = affine_init
+    result = None
+    for level in range(start, -1, -1):
+        args = (points_per_level[level], pixel_maps[level], models[level])
+        if batched:
+            result = jax.vmap(
+                lambda tq, tt, ab, a=args: align_level(
+                    a[0], a[1], a[2], SE3(tq, tt), ab, affine_ref,
+                    exposure_ratio, opts)
+            )(t.q, t.t, affine)
+        else:
+            result = align_level(*args, t, affine, affine_ref, exposure_ratio, opts)
+        t = result.t_t_r
+        affine = result.affine
+
+    if batched:
+        # pick the hypothesis with the best final energy (valid-count tiebreak)
+        score = jnp.where(result.num_valid > 0, result.energy, jnp.inf)
+        best = jnp.argmin(score)
+        result = jax.tree_util.tree_map(lambda x: x[best], result)
+    return result
