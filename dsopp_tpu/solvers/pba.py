@@ -1,0 +1,789 @@
+"""Sliding-window photometric bundle adjustment (jobs J1–J3, J9).
+
+TPU-native analog of the reference Eigen PBA stack
+(reference: src/energy/problems/ — evaluate_jacobians.hpp:23 residual hot
+loop, hessian_block_evaluation.hpp:96/:171/:240 Hessian blocks + landmark
+Schur fold + idepth back-substitution,
+eigen_photometric_bundle_adjustment_problem.hpp energy/step/marginalized
+prior, eigen_photometric_bundle_adjustment.cpp:63-105 solve flow,
+first_estimate_jacobians.hpp FEJ, photometric_bundle_adjustment.cpp:311
+relinearize / :322 outlier quantile rejection).
+
+Semantics kept from the reference:
+
+* per-frame state ε = [6 pose | a, b]; pose applied as T_lin·exp(ε) (right
+  increment), affine = affine0 + ε_ab;
+* FEJ: geometric reprojection Jacobians are evaluated ONCE per solve at the
+  linearization poses/idepths; image gradients are re-sampled at the current
+  projection each linearize; residuals at the current state;
+* whole-patch Huber (σ = 20·√C); residual statuses (Ok/OOB/Outlier) with
+  candidate-commit on LM accept and rollback on reject;
+* LM: force-accept for ≥3 of max 7 iterations, constant regularizer
+  λ = 1/1e5; step solves (H_pose+prior + H_marg + λ·diag − H_schur/(1+λ));
+* priors: affine-brightness (1e12, 1e8), fixed-first-frame 1e16;
+* marginalization ledger (H_m, b_m, E_m) in float64 on host, updated per
+  DSO eq 8.15/8.19 with b rebased at the current state, frames Schur-
+  eliminated via reduce_system.
+
+TPU-first design: the window is a fixed-shape bank — K frame slots × N
+landmark slots × 8-pixel pattern.  Residuals live in a dense
+[K_anchor, K_target, N, P] tensor with masks for existence/status/liveness;
+Hessian assembly and the landmark Schur fold are einsum contractions that
+reshape onto the MXU; the LM loop is host-driven over jitted kernels (7
+iterations/keyframe, each a single device program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsopp_tpu.core.interpolate import sample
+from dsopp_tpu.core.lie import SE3
+from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
+from dsopp_tpu.core.reproject import reproject, reproject_jacobian
+from dsopp_tpu.solvers.measure import huber_energy_weight
+
+# residual connection statuses (reference track::PointConnectionStatus)
+RES_OK = 0
+RES_OOB = 1
+RES_OUTLIER = 2
+
+BLOCK = 8  # per-frame state size: 6 pose + 2 affine
+
+
+class PBAOptions(NamedTuple):
+    """Reference production defaults (tracker fabric.cpp:59-122 +
+    eigen_photometric_bundle_adjustment.cpp:63-90)."""
+
+    max_iterations: int = 7
+    min_iterations: int = 3           # force-accept window
+    force_accept: bool = True
+    initial_regularizer: float = 1e-5  # 1/trust_radius (1e5); constant (dec=inc=1)
+    function_tolerance: float = 1e-8
+    parameter_tolerance: float = 1e-8
+    huber_sigma: float = 20.0
+    reg_decrease: float = 1.0          # PBA keeps λ constant (reference :75-76)
+    reg_increase: float = 1.0
+    affine_reg_a: float = 1e12
+    affine_reg_b: float = 1e8
+    fixed_reg: float = 1e16
+    idepth_nullspace_threshold: float = 1e-15
+    scale_nullspace_reg: float = 1e8
+    min_valid_reprojections: int = 1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Window:
+    """Fixed-shape sliding-window state (device arrays; host orchestrated).
+
+    Frame slots are packed: valid slots occupy indices [0, num_frames).
+    """
+
+    # frame slots [K]
+    t_lin_q: jnp.ndarray      # [K, 4] linearization-point pose T_w_c
+    t_lin_t: jnp.ndarray      # [K, 3]
+    affine0: jnp.ndarray      # [K, 2]
+    eps: jnp.ndarray          # [K, 8] state increment
+    exposure: jnp.ndarray     # [K]
+    frame_valid: jnp.ndarray  # [K] bool
+    frame_fixed: jnp.ndarray  # [K] bool — fixed parameterization
+    frame_marg: jnp.ndarray   # [K] bool — flagged for marginalization
+    frame_id: jnp.ndarray     # [K] int32 — external keyframe id (-1 = empty)
+
+    # landmark slots [K, N] anchored at their frame
+    lm_uv: jnp.ndarray        # [K, N, 2]
+    lm_patch: jnp.ndarray     # [K, N, P]
+    lm_idepth: jnp.ndarray    # [K, N]
+    lm_valid: jnp.ndarray     # [K, N] bool — slot holds an active landmark
+    lm_marg_flag: jnp.ndarray  # [K, N] bool — flagged for marginalization
+    lm_outlier: jnp.ndarray   # [K, N] bool
+    lm_inliers: jnp.ndarray   # [K, N] int32 — inlier residual count
+    lm_baseline: jnp.ndarray  # [K, N] relative baseline (idepth·parallax)
+
+    # residual statuses [K_anchor, K_target, N]
+    res_status: jnp.ndarray   # int32
+
+    # marginalization ledger (float64; small)
+    h_marg: jnp.ndarray       # [K*8, K*8]
+    b_marg: jnp.ndarray       # [K*8]
+    energy_marg: jnp.ndarray  # scalar
+
+    # per-frame level-0 pixel maps [K, 3, H, W]
+    maps: jnp.ndarray
+
+    @property
+    def num_slots(self):
+        return self.t_lin_q.shape[0]
+
+    @property
+    def num_landmark_slots(self):
+        return self.lm_uv.shape[1]
+
+    def t_lin(self) -> SE3:
+        return SE3(self.t_lin_q, self.t_lin_t)
+
+    def poses(self) -> SE3:
+        """Current poses T_w_c = T_lin · exp(ε_pose)."""
+        return self.t_lin() @ SE3.exp(self.eps[:, :6])
+
+    def affine(self):
+        return self.affine0 + self.eps[:, 6:]
+
+    def frame_count(self):
+        return int(np.asarray(jnp.sum(self.frame_valid)))
+
+
+def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float32) -> Window:
+    k, n, p = num_frames, num_landmarks, PATTERN_SIZE
+    qeye = jnp.zeros((k, 4), dtype).at[:, 0].set(1.0)
+    return Window(
+        t_lin_q=qeye,
+        t_lin_t=jnp.zeros((k, 3), dtype),
+        affine0=jnp.zeros((k, 2), dtype),
+        eps=jnp.zeros((k, BLOCK), dtype),
+        exposure=jnp.ones((k,), dtype),
+        frame_valid=jnp.zeros((k,), bool),
+        frame_fixed=jnp.zeros((k,), bool),
+        frame_marg=jnp.zeros((k,), bool),
+        frame_id=jnp.full((k,), -1, jnp.int32),
+        lm_uv=jnp.zeros((k, n, 2), dtype),
+        lm_patch=jnp.zeros((k, n, p), dtype),
+        lm_idepth=jnp.zeros((k, n), dtype),
+        lm_valid=jnp.zeros((k, n), bool),
+        lm_marg_flag=jnp.zeros((k, n), bool),
+        lm_outlier=jnp.zeros((k, n), bool),
+        lm_inliers=jnp.zeros((k, n), jnp.int32),
+        lm_baseline=jnp.zeros((k, n), dtype),
+        res_status=jnp.zeros((k, k, n), jnp.int32),
+        h_marg=jnp.zeros((k * BLOCK, k * BLOCK), jnp.float64),
+        b_marg=jnp.zeros((k * BLOCK,), jnp.float64),
+        energy_marg=jnp.zeros((), jnp.float64),
+        maps=jnp.zeros((k,) + tuple(map_shape), dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FEJ Jacobian evaluation (first_estimate_jacobians.hpp)
+# ---------------------------------------------------------------------------
+
+class FEJCache(NamedTuple):
+    d_uv_ref: jnp.ndarray    # [K,K,N,P,2,6] d(uv_t)/dε_anchor at linearization
+    d_uv_tgt: jnp.ndarray    # [K,K,N,P,2,6]
+    d_uv_idepth: jnp.ndarray  # [K,K,N,P,2]
+    corrected_ref: jnp.ndarray  # [K,K,N,P] s0·(patch − b0_i) (frozen affine col)
+    scale0: jnp.ndarray      # [K,K] frozen brightness scale
+    geom_valid: jnp.ndarray  # [K,K,N] reprojection-jacobian validity
+
+
+def _relative_poses(t_q, t_t, eps_pose):
+    """T_j⁻¹ · T_i for all ordered pairs → SE3 with batch [K_i, K_j]."""
+    t = SE3(t_q, t_t) @ SE3.exp(eps_pose)
+    t_inv = t.inverse()
+    # pair [i, j]: t_inv[j] ∘ t[i]
+    qi = t.q[:, None, :]
+    ti = t.t[:, None, :]
+    qj = t_inv.q[None, :, :]
+    tj = t_inv.t[None, :, :]
+    return SE3(qj, tj).compose(SE3(qi, ti))  # batch [K_i, K_j]
+
+
+def _fej_cache(window: Window, model) -> FEJCache:
+    k = window.num_slots
+    zero = jnp.zeros((k, 6), window.t_lin_q.dtype)
+    t_ji = _relative_poses(window.t_lin_q, window.t_lin_t, zero)  # [i, j]
+    pattern = shift_pattern(window.lm_uv)                          # [K,N,P,2]
+    # broadcast anchor landmarks over target axis: [i, j, n, p, ...]
+    uv = pattern[:, None]                                          # [K,1,N,P,2]
+    idepth = window.lm_idepth[:, None, :, None]                    # [K,1,N,1]
+    t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
+    rj = reproject_jacobian(model, model, uv, idepth, t_b)
+    ratio = window.exposure[None, :] / jnp.maximum(window.exposure[:, None], 1e-12)
+    scale0 = ratio * jnp.exp(window.affine0[None, :, 0] - window.affine0[:, None, 0])
+    corrected = scale0[:, :, None, None] * (
+        window.lm_patch[:, None] - window.affine0[:, None, None, None, 1]
+    )
+    return FEJCache(
+        d_uv_ref=rj.d_uv_d_eps_ref,
+        d_uv_tgt=rj.d_uv_d_eps_tgt,
+        d_uv_idepth=rj.d_uv_d_idepth,
+        corrected_ref=corrected,
+        scale0=scale0,
+        geom_valid=jnp.all(rj.valid, axis=-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual evaluation (evaluate_jacobians.hpp NEW_EVALUATION_POINT path)
+# ---------------------------------------------------------------------------
+
+class Evaluation(NamedTuple):
+    residuals: jnp.ndarray     # [K,K,N,P]
+    energy_patch: jnp.ndarray  # [K,K,N] huber patch energy
+    weight: jnp.ndarray        # [K,K,N] huber weight (0 where dead)
+    status_candidate: jnp.ndarray  # [K,K,N] int32
+    grad: jnp.ndarray          # [K,K,N,P,2] target image gradients at projection
+    ok: jnp.ndarray            # [K,K,N] live mask
+
+
+def _pair_mask(window: Window):
+    fv = window.frame_valid
+    eye = jnp.eye(window.num_slots, dtype=bool)
+    return fv[:, None] & fv[None, :] & ~eye
+
+
+def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
+              with_gradients: bool) -> Evaluation:
+    """Residuals of every (anchor i, target j, landmark n) at state (eps, idepth)."""
+    t_ji = _relative_poses(window.t_lin_q, window.t_lin_t, eps[:, :6])
+    affine = window.affine0 + eps[:, 6:]
+    ratio = window.exposure[None, :] / jnp.maximum(window.exposure[:, None], 1e-12)
+    scale = ratio * jnp.exp(affine[None, :, 0] - affine[:, None, 0])
+
+    pattern = shift_pattern(window.lm_uv)                          # [K,N,P,2]
+    uv = pattern[:, None]
+    d = idepth[:, None, :, None]
+    t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
+    rp = reproject(model, model, uv, d, t_b)                       # [K,K,N,P]
+
+    # sample target maps: vmap over the target axis j
+    def sample_target(tmap, uv_t):
+        return sample(tmap, uv_t)
+
+    vals, inside = jax.vmap(sample_target, in_axes=(0, 1), out_axes=1)(
+        window.maps, rp.uv
+    )                                                              # [K,K,N,P,3]
+
+    corrected_ref = scale[:, :, None, None] * (
+        window.lm_patch[:, None] - affine[:, None, None, None, 1]
+    )
+    r = (vals[..., 0] - affine[None, :, None, None, 1]) - corrected_ref
+
+    geom_ok = jnp.all(rp.valid & inside, axis=-1)                  # [K,K,N]
+    pair = _pair_mask(window)
+    live = pair[:, :, None] & lm_mask[:, None, :]
+
+    status_ok = window.res_status == RES_OK
+    candidate = jnp.where(
+        live & ~geom_ok, RES_OOB, window.res_status
+    ).astype(jnp.int32)
+
+    ok = live & geom_ok & status_ok
+    r = jnp.where(ok[..., None], r, 0.0)
+    r2 = jnp.sum(r * r, axis=-1)
+    energy, weight = huber_energy_weight(r2, opts.huber_sigma)
+    energy = jnp.where(ok, energy, 0.0)
+    weight = jnp.where(ok, weight, 0.0)
+
+    return Evaluation(r, energy, weight, candidate, vals[..., 1:], ok)
+
+
+def _prior_system(window: Window, eps, opts: PBAOptions, marg_pass=False):
+    """Affine-brightness + fixed-frame priors (evaluateLinearSystemPrior).
+
+    All prior blocks are diagonal, so the system is built as a [K,8]
+    diagonal-entry bank.  ``marg_pass`` selects flagged frames only (the
+    reference's ``for_marginalized`` flag); the normal pass takes unflagged.
+    """
+    k = window.num_slots
+    dtype = eps.dtype
+    sel = window.frame_valid & (window.frame_marg if marg_pass else ~window.frame_marg)
+    fixed = sel & window.frame_fixed
+    free = sel & ~window.frame_fixed
+
+    dvec = jnp.where(fixed[:, None], opts.fixed_reg, 0.0) * jnp.ones((k, BLOCK), dtype)
+    b = jnp.where(fixed[:, None], opts.fixed_reg * eps, 0.0)
+
+    reg = jnp.asarray([opts.affine_reg_a, opts.affine_reg_b], dtype)
+    affine = window.affine0 + eps[:, 6:]
+    dvec = dvec.at[:, 6:].add(jnp.where(free[:, None], reg[None, :], 0.0))
+    b = b.at[:, 6:].add(jnp.where(free[:, None], reg[None, :] * affine, 0.0))
+    return jnp.diag(dvec.reshape(-1)), b.reshape(k * BLOCK)
+
+
+def _prior_energy(window: Window, eps, opts: PBAOptions):
+    reg = jnp.asarray([opts.affine_reg_a, opts.affine_reg_b], eps.dtype)
+    affine = window.affine0 + eps[:, 6:]
+    e = 0.5 * jnp.sum(
+        jnp.where(window.frame_valid[:, None], reg[None, :] * affine * affine, 0.0)
+    )
+    return e
+
+
+class LinearSystem(NamedTuple):
+    h_pose: jnp.ndarray    # [K*8, K*8] photometric + prior
+    b_pose: jnp.ndarray    # [K*8]
+    h_schur: jnp.ndarray   # [K*8, K*8]
+    b_schur: jnp.ndarray   # [K*8]
+    hpd: jnp.ndarray       # [K,N,K,8] per-landmark pose-idepth blocks
+    inv_hdd: jnp.ndarray   # [K,N] (0 where ill-conditioned)
+    b_d: jnp.ndarray       # [K,N]
+
+
+def _linearize(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
+               opts: PBAOptions, marg_pass: bool = False) -> LinearSystem:
+    """Build the GN system with FEJ Jacobians + current gradients/weights."""
+    k, n = window.num_slots, window.num_landmark_slots
+    ev = _evaluate(window, model, eps, idepth, lm_mask, opts, with_gradients=True)
+
+    ok = ev.ok & fej.geom_valid
+    w = jnp.where(ok, ev.weight, 0.0)
+
+    gx = ev.grad[..., 0]
+    gy = ev.grad[..., 1]
+    # pose part of J (chain rule with FEJ geometry, current gradients)
+    j_ref_pose = gx[..., None] * fej.d_uv_ref[..., 0, :] + gy[..., None] * fej.d_uv_ref[..., 1, :]
+    j_tgt_pose = gx[..., None] * fej.d_uv_tgt[..., 0, :] + gy[..., None] * fej.d_uv_tgt[..., 1, :]
+    # affine cols (frozen, evaluate_jacobians.hpp tail):
+    #   d/da_i = +corrected0, d/db_i = +scale0, d/da_j = −corrected0, d/db_j = −1
+    ones = jnp.ones_like(fej.corrected_ref)
+    j_ref = jnp.concatenate(
+        [j_ref_pose, fej.corrected_ref[..., None],
+         (fej.scale0[:, :, None, None] * ones)[..., None]], axis=-1)
+    j_tgt = jnp.concatenate(
+        [j_tgt_pose, -fej.corrected_ref[..., None], -ones[..., None]], axis=-1)
+    j_d = gx * fej.d_uv_idepth[..., 0] + gy * fej.d_uv_idepth[..., 1]  # [K,K,N,P]
+
+    r = ev.residuals
+    wj_ref = w[..., None, None] * j_ref
+    wj_tgt = w[..., None, None] * j_tgt
+
+    # H_pp blocks (hessian_block_evaluation.hpp:96)
+    h_rr = jnp.einsum("ijnpa,ijnpb->iab", wj_ref, j_ref)
+    h_tt = jnp.einsum("ijnpa,ijnpb->jab", wj_tgt, j_tgt)
+    h_rt = jnp.einsum("ijnpa,ijnpb->ijab", wj_ref, j_tgt)
+    b_r = jnp.einsum("ijnpa,ijnp->ia", wj_ref, r)
+    b_t = jnp.einsum("ijnpa,ijnp->ja", wj_tgt, r)
+
+    h = jnp.zeros((k, BLOCK, k, BLOCK), r.dtype)
+    eye = jnp.eye(k, dtype=r.dtype)
+    h = h + eye[:, None, :, None] * (h_rr + h_tt)[:, :, None, :]
+    h = h + jnp.einsum("ijab->iajb", h_rt)
+    h = h + jnp.einsum("ijab->jbia", h_rt)
+    b = b_r + b_t
+
+    h = h.reshape(k * BLOCK, k * BLOCK)
+    b = b.reshape(k * BLOCK)
+    h_pr, b_pr = _prior_system(window, eps, opts, marg_pass=marg_pass)
+    h_pose = h + h_pr
+    b_pose = b + b_pr
+
+    # landmark Schur quantities (hessian_block_evaluation.hpp:171)
+    hpd_ref = jnp.einsum("ijnpa,ijnp->ina", wj_ref, j_d)
+    hpd_tgt = jnp.einsum("ijnpa,ijnp->ijna", wj_tgt, j_d)
+    hpd = jnp.einsum("ijna->inja", hpd_tgt) + jnp.einsum(
+        "ina,ij->inja", hpd_ref, jnp.eye(k, dtype=r.dtype)
+    )                                                              # [K,N,K,8]
+    h_dd = jnp.einsum("ijnp,ijnp,ijn->in", j_d, j_d, w)
+    b_d = jnp.einsum("ijnp,ijnp,ijn->in", j_d, r, w)
+
+    if marg_pass:
+        # scale-nullspace regularizer for landmarks anchored in a fixed frame
+        h_dd = h_dd + jnp.where(
+            (window.frame_fixed[:, None]) & (h_dd > opts.idepth_nullspace_threshold),
+            opts.scale_nullspace_reg, 0.0)
+
+    well = h_dd > opts.idepth_nullspace_threshold
+    inv_hdd = jnp.where(well, 1.0 / jnp.maximum(h_dd, 1e-300), 0.0)
+
+    h_schur = jnp.einsum("inja,in,inkb->jakb", hpd, inv_hdd, hpd).reshape(
+        k * BLOCK, k * BLOCK)
+    b_schur = jnp.einsum("inja,in,in->ja", hpd, inv_hdd, b_d).reshape(k * BLOCK)
+    return LinearSystem(h_pose, b_pose, h_schur, b_schur, hpd, inv_hdd, b_d)
+
+
+def _energy(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions):
+    """Total energy: landmarks + affine priors + marginalized quadratic."""
+    ev = _evaluate(window, model, eps, idepth, lm_mask, opts, with_gradients=False)
+    e_land = jnp.sum(ev.energy_patch)
+    n_valid = jnp.sum(ev.energy_patch > 0)
+    e_prior = _prior_energy(window, eps, opts)
+    s = eps.reshape(-1).astype(jnp.float64)
+    e_marg = (
+        window.energy_marg
+        + jnp.dot(window.b_marg, s)
+        + 0.5 * jnp.dot(s, window.h_marg @ s)
+    )
+    return (e_land + e_prior + e_marg.astype(e_land.dtype)), n_valid, ev.status_candidate
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _pba_iteration(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
+                   regularizer, opts: PBAOptions):
+    """One LM iteration: linearize at (eps, idepth), solve, return candidate state."""
+    k = window.num_slots
+    dtype = eps.dtype
+    sys = _linearize(window, model, fej, eps, idepth, lm_mask, opts)
+
+    lam = regularizer
+    s = eps.reshape(-1)
+    h_full = (
+        sys.h_pose.astype(jnp.float64)
+        + window.h_marg
+        + jnp.diag(jnp.diagonal(sys.h_pose).astype(jnp.float64) * lam)
+        - sys.h_schur.astype(jnp.float64) / (1.0 + lam)
+    )
+    b_full = (
+        sys.b_pose.astype(jnp.float64)
+        - sys.b_schur.astype(jnp.float64) / (1.0 + lam)
+        + window.b_marg
+        + window.h_marg @ s.astype(jnp.float64)
+    )
+    # dead frame slots have zero rows: add identity so the solve is well-posed
+    slot_live = jnp.repeat(window.frame_valid, BLOCK)
+    h_full = jnp.where(
+        slot_live[:, None] & slot_live[None, :], h_full,
+        jnp.eye(k * BLOCK, dtype=jnp.float64))
+    b_full = jnp.where(slot_live, b_full, 0.0)
+
+    step = -jnp.linalg.solve(h_full, b_full[:, None])[:, 0].astype(dtype)
+    step = jnp.where(jnp.isfinite(step), step, 0.0)
+    step = jnp.where(slot_live, step, 0.0)
+    eps_new = eps + step.reshape(k, BLOCK)
+
+    # idepth back-substitution (hessian_block_evaluation.hpp:240)
+    step_pose = step.reshape(k, BLOCK)
+    d_step = -(
+        sys.b_d + jnp.einsum("inja,ja->in", sys.hpd, step_pose)
+    ) * sys.inv_hdd / (1.0 + lam)
+    d_step = jnp.where(jnp.isfinite(d_step), d_step, 0.0)
+    idepth_new = idepth + d_step
+
+    step_sq = jnp.sum(step * step) + jnp.sum(d_step * d_step)
+    return eps_new, idepth_new, step_sq
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _energy_jit(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions):
+    return _energy(window, model, eps, idepth, lm_mask, opts)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _fej_jit(window: Window, model, opts: PBAOptions):
+    return _fej_cache(window, model)
+
+
+def active_lm_mask(window: Window):
+    return window.lm_valid & window.frame_valid[:, None]
+
+
+def _relinearize_all(window: Window, eps, idepth) -> Window:
+    """Fold the current increment into the linearization point of EVERY frame.
+
+    Only legal while the marginalization ledger is empty (no FEJ-consistency
+    constraint yet) — then the solve becomes plain Gauss-Newton with fresh
+    Jacobians, which has a far larger convergence basin.  With a non-empty
+    ledger the reference semantics (frozen FEJ) apply instead.
+    """
+    t_new = window.t_lin() @ SE3.exp(eps[:, :6])
+    return dataclasses.replace(
+        window,
+        t_lin_q=t_new.q,
+        t_lin_t=t_new.t,
+        affine0=window.affine0 + eps[:, 6:],
+        eps=jnp.zeros_like(window.eps),
+        lm_idepth=idepth,
+    )
+
+
+def solve_window(window: Window, model, opts: PBAOptions = PBAOptions()):
+    """Full backend solve (EigenPBA::solve): FEJ → LM loop → relinearize →
+    outlier rejection.  Host drives the loop; each step is one jitted program.
+    """
+    lm_mask = active_lm_mask(window)
+    fej = _fej_jit(window, model, opts)
+    # bootstrap (no prior yet): refresh Jacobians after every accepted step
+    ledger_empty = float(jnp.max(jnp.abs(window.h_marg))) == 0.0
+
+    eps = window.eps
+    idepth = window.lm_idepth
+    status = window.res_status
+
+    energy, n_valid, _cand = _energy_jit(window, model, eps, idepth, lm_mask, opts)
+    energy = float(energy)
+    lam = opts.initial_regularizer
+
+    converged = False
+    for it in range(opts.max_iterations):
+        if converged or int(n_valid) == 0:
+            break
+        eps_new, idepth_new, step_sq = _pba_iteration(
+            window, model, fej, eps, idepth, lm_mask, lam, opts)
+        e_new, n_new, cand = _energy_jit(window, model, eps_new, idepth_new, lm_mask, opts)
+        e_new = float(e_new)
+
+        ftol = abs(energy - e_new) / max(energy, 1e-30) < opts.function_tolerance
+        converged = converged or ftol
+        accept = e_new < energy or (opts.force_accept and it < opts.min_iterations)
+        if accept and int(n_new) > 0 and np.isfinite(e_new):
+            eps, idepth = eps_new, idepth_new
+            status = cand  # commit candidate statuses
+            window = dataclasses.replace(window, res_status=status)
+            state_sq = float(jnp.sum(eps * eps))
+            if float(step_sq) < opts.parameter_tolerance * (state_sq + opts.parameter_tolerance):
+                converged = True
+            energy, n_valid = e_new, n_new
+            lam /= opts.reg_decrease
+            if ledger_empty and not converged:
+                window = _relinearize_all(window, eps, idepth)
+                eps = window.eps
+                idepth = window.lm_idepth
+                fej = _fej_jit(window, model, opts)
+        else:
+            if opts.force_accept:
+                break
+            lam *= opts.reg_increase
+
+    window = dataclasses.replace(
+        window, eps=eps, lm_idepth=idepth, res_status=status)
+    window = _relinearize_last(window)
+    window = _update_point_statuses(window, model, opts)
+    return window, {"energy": energy, "num_valid": int(n_valid)}
+
+
+def _relinearize_last(window: Window) -> Window:
+    """Re-anchor the newest frame (photometric_bundle_adjustment.cpp:311)."""
+    idx = window.frame_count() - 1
+    if idx < 0:
+        return window
+    t_new = SE3(window.t_lin_q[idx], window.t_lin_t[idx]) @ SE3.exp(window.eps[idx, :6])
+    return dataclasses.replace(
+        window,
+        t_lin_q=window.t_lin_q.at[idx].set(t_new.q),
+        t_lin_t=window.t_lin_t.at[idx].set(t_new.t),
+        affine0=window.affine0.at[idx].add(window.eps[idx, 6:]),
+        eps=window.eps.at[idx].set(0.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _point_status_kernel(window: Window, model, opts: PBAOptions):
+    lm_mask = active_lm_mask(window)
+    ev = _evaluate(window, model, window.eps, window.lm_idepth, lm_mask, opts,
+                   with_gradients=False)
+    e = ev.energy_patch
+    ok = ev.ok
+    # 75th percentile of OK residual energies + σ²/2 (updatePointStatuses)
+    flat = jnp.where(ok, e, jnp.nan).reshape(-1)
+    q75 = jnp.nanquantile(flat, 0.75)
+    thresh = jnp.where(jnp.isnan(q75), 0.0, q75) + 0.5 * opts.huber_sigma ** 2
+
+    new_status = jnp.where(ok & (e > thresh), RES_OUTLIER, ev.status_candidate)
+    still_ok = ok & (e <= thresh)
+
+    # relative baseline: idepth · ‖t_i − t_j‖ over OK residuals
+    poses = window.poses()
+    dist = jnp.linalg.norm(poses.t[:, None, :] - poses.t[None, :, :], axis=-1)
+    rel = jnp.where(still_ok, window.lm_idepth[:, None, :] * dist[:, :, None], 0.0)
+    baseline = jnp.maximum(window.lm_baseline, jnp.max(rel, axis=1))
+
+    inliers = jnp.sum(still_ok, axis=1).astype(jnp.int32)
+    outlier = window.lm_outlier | (
+        lm_mask & (inliers < opts.min_valid_reprojections))
+    return new_status, baseline, inliers, outlier
+
+
+def _update_point_statuses(window: Window, model, opts: PBAOptions) -> Window:
+    status, baseline, inliers, outlier = _point_status_kernel(window, model, opts)
+    return dataclasses.replace(
+        window, res_status=status, lm_baseline=baseline,
+        lm_inliers=inliers, lm_outlier=outlier)
+
+
+# ---------------------------------------------------------------------------
+# Marginalization (updateMarginalizedLinearSystem; DSO eq 8.15/8.19)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("opts",))
+def _marg_system_kernel(window: Window, model, opts: PBAOptions):
+    """H/b/E of flagged landmarks at the current state (FEJ Jacobians)."""
+    fej = _fej_cache(window, model)
+    lm_mask = window.lm_marg_flag & window.lm_valid & window.frame_valid[:, None]
+    sys = _linearize(window, model, fej, window.eps, window.lm_idepth, lm_mask,
+                     opts, marg_pass=True)
+    ev = _evaluate(window, model, window.eps, window.lm_idepth, lm_mask, opts,
+                   with_gradients=False)
+    e_land = jnp.sum(ev.energy_patch)
+    # pose system minus landmark Schur — the points' information on poses.
+    # note: the prior is NOT included here (only in the frame-marg pass).
+    h_pr, b_pr = _prior_system(window, window.eps, opts, marg_pass=True)
+    h_pts = sys.h_pose - h_pr - sys.h_schur
+    b_pts = sys.b_pose - b_pr - sys.b_schur
+    return h_pts, b_pts, e_land
+
+
+def marginalize(window: Window, model, opts: PBAOptions = PBAOptions()) -> Window:
+    """Fold flagged landmarks & frames into the prior ledger, then compact.
+
+    Mirrors updateMarginalizedLinearSystem
+    (eigen_photometric_bundle_adjustment_problem.hpp:147-203): compute the
+    flagged points' pose information (H_pp − Schur), rebase b at the current
+    state, accumulate in float64, drop the points; then add the flagged
+    frames' prior system and Schur-eliminate their blocks; finally compact
+    the frame slots (deque erase → slot permutation).
+    """
+    k = window.num_slots
+    any_lm = bool(np.any(np.asarray(window.lm_marg_flag & window.lm_valid)))
+    frame_marg = np.asarray(window.frame_marg & window.frame_valid)
+    any_frame = bool(frame_marg.any())
+
+    h_m = np.asarray(window.h_marg)
+    b_m = np.asarray(window.b_marg)
+    e_m = float(window.energy_marg)
+    s = np.asarray(window.eps, np.float64).reshape(-1)
+
+    if any_lm or any_frame:
+        h_pts, b_pts, e_land = _marg_system_kernel(window, model, opts)
+        h_pts = np.asarray(h_pts, np.float64)
+        b_pts = np.asarray(b_pts, np.float64)
+        # DSO eq 8.15: energy of dropped residuals at the linearization
+        e_m += float(e_land) + s @ (h_pts @ s) - s @ b_pts
+        b_pts = b_pts - h_pts @ s
+        h_m = h_m + h_pts
+        b_m = b_m + b_pts
+
+        # drop marginalized landmarks from the active set
+        lm_valid = window.lm_valid & ~window.lm_marg_flag
+        window = dataclasses.replace(
+            window,
+            lm_valid=lm_valid,
+            lm_marg_flag=jnp.zeros_like(window.lm_marg_flag),
+        )
+
+    if any_frame:
+        # frame priors folded before elimination (reference :185-196)
+        h_pr, b_pr = jax.jit(_prior_system, static_argnames=("opts", "marg_pass"))(
+            window, window.eps, opts, marg_pass=True)
+        h_pr = np.asarray(h_pr, np.float64)
+        b_pr = np.asarray(b_pr, np.float64)
+        b_pr = b_pr - h_pr @ s
+        h_m = h_m + h_pr
+        b_m = b_m + b_pr
+
+        # Schur-eliminate marginalized frame blocks (reduce_system).
+        # kept = valid frames that survive (slot order preserved); empty
+        # slots carry zero rows and are dropped from the ledger entirely.
+        kept = np.where(~frame_marg & np.asarray(window.frame_valid))[0]
+        elim = np.where(np.repeat(frame_marg, BLOCK))[0]
+        keep = np.concatenate(
+            [np.arange(f * BLOCK, (f + 1) * BLOCK) for f in kept]
+        ) if len(kept) else np.zeros(0, np.int64)
+        h_ee = h_m[np.ix_(elim, elim)]
+        h_ke = h_m[np.ix_(keep, elim)]
+        h_ee_inv = np.linalg.pinv(h_ee, hermitian=True)
+        h_kk = h_m[np.ix_(keep, keep)] - h_ke @ h_ee_inv @ h_ke.T
+        b_k = b_m[keep] - h_ke @ h_ee_inv @ b_m[elim]
+        dead = [i for i in range(k) if i not in kept]
+        perm = np.concatenate([kept, dead]).astype(np.int32)
+        n_keep = len(kept)
+
+        h_new = np.zeros_like(h_m)
+        b_new = np.zeros_like(b_m)
+        h_new[: n_keep * BLOCK, : n_keep * BLOCK] = 0.5 * (h_kk + h_kk.T)
+        b_new[: n_keep * BLOCK] = b_k
+        h_m, b_m = h_new, b_new
+
+        permj = jnp.asarray(perm)
+        window = dataclasses.replace(
+            window,
+            t_lin_q=window.t_lin_q[permj],
+            t_lin_t=window.t_lin_t[permj],
+            affine0=window.affine0[permj],
+            eps=window.eps[permj],
+            exposure=window.exposure[permj],
+            frame_valid=window.frame_valid[permj] & ~window.frame_marg[permj],
+            frame_fixed=window.frame_fixed[permj] & ~window.frame_marg[permj],
+            frame_marg=jnp.zeros_like(window.frame_marg),
+            frame_id=jnp.where(
+                window.frame_valid[permj] & ~window.frame_marg[permj],
+                window.frame_id[permj], -1),
+            lm_uv=window.lm_uv[permj],
+            lm_patch=window.lm_patch[permj],
+            lm_idepth=window.lm_idepth[permj],
+            lm_valid=window.lm_valid[permj] & ~window.frame_marg[permj][:, None],
+            lm_marg_flag=jnp.zeros_like(window.lm_marg_flag),
+            lm_outlier=window.lm_outlier[permj],
+            lm_inliers=window.lm_inliers[permj],
+            lm_baseline=window.lm_baseline[permj],
+            res_status=window.res_status[permj][:, permj],
+            maps=window.maps[permj],
+        )
+
+    return dataclasses.replace(
+        window,
+        h_marg=jnp.asarray(h_m),
+        b_marg=jnp.asarray(b_m),
+        energy_marg=jnp.asarray(e_m),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame push (PhotometricBundleAdjustment::pushFrame)
+# ---------------------------------------------------------------------------
+
+def push_frame(
+    window: Window,
+    t_w_c: SE3,
+    pixel_map,
+    frame_id: int,
+    exposure: float = 1.0,
+    affine=(0.0, 0.0),
+    fixed: bool = False,
+    lm_uv=None,
+    lm_patch=None,
+    lm_idepth=None,
+) -> Window:
+    """Insert a keyframe into the next free slot with its active landmarks.
+
+    Residual statuses for all pairs involving the new frame start Ok
+    (photometric_bundle_adjustment.cpp pushFrame wires ResidualPoint lists
+    from connection statuses; new connections start Ok).
+    """
+    slot = window.frame_count()
+    k, n = window.num_slots, window.num_landmark_slots
+    if slot >= k:
+        raise ValueError("window full — marginalize before pushing")
+    dtype = window.lm_uv.dtype
+
+    num_lm = 0 if lm_uv is None else lm_uv.shape[0]
+    uv = jnp.zeros((n, 2), dtype)
+    patch = jnp.zeros((n, PATTERN_SIZE), dtype)
+    idep = jnp.zeros((n,), dtype)
+    valid = jnp.zeros((n,), bool)
+    if num_lm:
+        num_lm = min(num_lm, n)
+        uv = uv.at[:num_lm].set(jnp.asarray(lm_uv[:num_lm], dtype))
+        patch = patch.at[:num_lm].set(jnp.asarray(lm_patch[:num_lm], dtype))
+        idep = idep.at[:num_lm].set(jnp.asarray(lm_idepth[:num_lm], dtype))
+        valid = valid.at[:num_lm].set(True)
+
+    status = window.res_status
+    status = status.at[slot, :, :].set(RES_OK)
+    status = status.at[:, slot, :].set(RES_OK)
+
+    return dataclasses.replace(
+        window,
+        t_lin_q=window.t_lin_q.at[slot].set(jnp.asarray(t_w_c.q, dtype)),
+        t_lin_t=window.t_lin_t.at[slot].set(jnp.asarray(t_w_c.t, dtype)),
+        affine0=window.affine0.at[slot].set(jnp.asarray(affine, dtype)),
+        eps=window.eps.at[slot].set(0.0),
+        exposure=window.exposure.at[slot].set(exposure),
+        frame_valid=window.frame_valid.at[slot].set(True),
+        frame_fixed=window.frame_fixed.at[slot].set(fixed),
+        frame_id=window.frame_id.at[slot].set(frame_id),
+        lm_uv=window.lm_uv.at[slot].set(uv),
+        lm_patch=window.lm_patch.at[slot].set(patch),
+        lm_idepth=window.lm_idepth.at[slot].set(idep),
+        lm_valid=window.lm_valid.at[slot].set(valid),
+        lm_outlier=window.lm_outlier.at[slot].set(False),
+        lm_inliers=window.lm_inliers.at[slot].set(0),
+        lm_baseline=window.lm_baseline.at[slot].set(0.0),
+        res_status=status,
+        maps=window.maps.at[slot].set(jnp.asarray(pixel_map, dtype)),
+    )

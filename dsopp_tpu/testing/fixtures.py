@@ -58,6 +58,54 @@ def gt_level_points(
     return levels
 
 
+def build_test_window(
+    seq: SyntheticSequence,
+    frame_ids,
+    num_landmarks: int = 200,
+    slots: int = 8,
+    pose_noise: float = 0.0,
+    idepth_noise: float = 0.0,
+    seed: int = 0,
+    dtype=jnp.float64,
+):
+    """Sliding-window PBA problem seeded from GT (SolverTestData analog).
+
+    Keyframes at ``frame_ids`` with GT poses (optionally perturbed, first
+    frame fixed and exact), landmarks from the candidate extractor with GT
+    inverse depth (optionally perturbed).
+    """
+    from dsopp_tpu.core.interpolate import build_pixel_map, sample
+    from dsopp_tpu.core.pattern import shift_pattern
+    from dsopp_tpu.features import select_candidates
+    from dsopp_tpu.solvers.pba import Window, empty_window, push_frame
+
+    h, w = seq.images[0].shape
+    window = empty_window(slots, num_landmarks, (3, h, w), dtype=dtype)
+    key = jax.random.PRNGKey(seed)
+
+    for pos, f in enumerate(frame_ids):
+        key, kp, kd = jax.random.split(key, 3)
+        pm = build_pixel_map(jnp.asarray(seq.images[f], dtype))
+        cands = select_candidates(pm, num_landmarks)
+        pattern = shift_pattern(cands.uv)
+        patches, _ = sample(pm, pattern)
+        uv = np.asarray(cands.uv)
+        gt_idepth = jnp.asarray(
+            seq.idepths[f][uv[:, 1].astype(int), uv[:, 0].astype(int)], dtype)
+        if idepth_noise > 0:
+            gt_idepth = gt_idepth * (
+                1.0 + idepth_noise * jax.random.normal(kd, gt_idepth.shape, dtype))
+        pose = seq.pose_t_wc(f)
+        if pose_noise > 0 and pos > 0:
+            pose = perturbed_pose(pose, kp, pose_noise, pose_noise)
+        window = push_frame(
+            window, SE3(jnp.asarray(pose.q, dtype), jnp.asarray(pose.t, dtype)),
+            pm, frame_id=f, fixed=(pos == 0),
+            lm_uv=cands.uv, lm_patch=patches[..., 0], lm_idepth=gt_idepth,
+        )
+    return window
+
+
 def perturbed_pose(t: SE3, key, translation_sigma=POSE_DEVIATION, rotation_sigma=POSE_DEVIATION):
     """GT pose with reference-style noise (kPoseDeviation=2e-2)."""
     kt, kr = jax.random.split(key)
