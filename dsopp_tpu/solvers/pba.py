@@ -105,6 +105,7 @@ class Window:
     lm_marg_flag: jnp.ndarray  # [K, N] bool — flagged for marginalization
     lm_outlier: jnp.ndarray   # [K, N] bool
     lm_inliers: jnp.ndarray   # [K, N] int32 — inlier residual count
+    lm_opt_count: jnp.ndarray  # [K, N] int32 — solves with ≥1 inlier residual
     lm_baseline: jnp.ndarray  # [K, N] relative baseline (idepth·parallax)
 
     # residual statuses [K_anchor, K_target, N]
@@ -160,6 +161,7 @@ def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float
         lm_marg_flag=jnp.zeros((k, n), bool),
         lm_outlier=jnp.zeros((k, n), bool),
         lm_inliers=jnp.zeros((k, n), jnp.int32),
+        lm_opt_count=jnp.zeros((k, n), jnp.int32),
         lm_baseline=jnp.zeros((k, n), dtype),
         res_status=jnp.zeros((k, k, n), jnp.int32),
         h_marg=jnp.zeros((k * BLOCK, k * BLOCK), jnp.float64),
@@ -586,14 +588,16 @@ def _point_status_kernel(window: Window, model, opts: PBAOptions):
     inliers = jnp.sum(still_ok, axis=1).astype(jnp.int32)
     outlier = window.lm_outlier | (
         lm_mask & (inliers < opts.min_valid_reprojections))
-    return new_status, baseline, inliers, outlier
+    opt_count = window.lm_opt_count + (inliers > 0).astype(jnp.int32)
+    return new_status, baseline, inliers, outlier, opt_count
 
 
 def _update_point_statuses(window: Window, model, opts: PBAOptions) -> Window:
-    status, baseline, inliers, outlier = _point_status_kernel(window, model, opts)
+    status, baseline, inliers, outlier, opt_count = _point_status_kernel(
+        window, model, opts)
     return dataclasses.replace(
         window, res_status=status, lm_baseline=baseline,
-        lm_inliers=inliers, lm_outlier=outlier)
+        lm_inliers=inliers, lm_outlier=outlier, lm_opt_count=opt_count)
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +714,7 @@ def marginalize(window: Window, model, opts: PBAOptions = PBAOptions()) -> Windo
             lm_marg_flag=jnp.zeros_like(window.lm_marg_flag),
             lm_outlier=window.lm_outlier[permj],
             lm_inliers=window.lm_inliers[permj],
+            lm_opt_count=window.lm_opt_count[permj],
             lm_baseline=window.lm_baseline[permj],
             res_status=window.res_status[permj][:, permj],
             maps=window.maps[permj],
@@ -783,6 +788,7 @@ def push_frame(
         lm_valid=window.lm_valid.at[slot].set(valid),
         lm_outlier=window.lm_outlier.at[slot].set(False),
         lm_inliers=window.lm_inliers.at[slot].set(0),
+        lm_opt_count=window.lm_opt_count.at[slot].set(0),
         lm_baseline=window.lm_baseline.at[slot].set(0.0),
         res_status=status,
         maps=window.maps.at[slot].set(jnp.asarray(pixel_map, dtype)),

@@ -1,0 +1,148 @@
+"""Semi-dense reference depth maps for the frontend (create_depth_maps).
+
+TPU-native analog of reference src/tracker/tracker/src/create_depth_maps.cpp:
+project every active landmark of every active keyframe into the NEWEST
+keyframe, scatter-accumulate (idepth·w, w) into a level-0 grid, pool to
+coarser levels, and dilate into empty neighbors.  The result seeds the next
+frames' pose alignment.
+
+All steps are jitted scatter/pool ops; the landmark loop is a batched
+reproject + one ``.at[].add`` scatter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dsopp_tpu.core.lie import SE3
+from dsopp_tpu.core.reproject import reproject
+from dsopp_tpu.solvers.pba import Window, active_lm_mask
+from dsopp_tpu.solvers.pose_alignment import LevelPoints
+
+
+@partial(jax.jit, static_argnames=("height", "width", "num_levels"))
+def build_depth_maps(window: Window, model, height: int, width: int,
+                     num_levels: int = 5):
+    """(idepth, weight) pyramids of the newest keyframe.
+
+    Returns two tuples of [H_l, W_l] arrays.  Mirrors fillFineDepthMap —
+    idepth is rescaled into the target frame via the depth scale; weights
+    are uniform (the reference weights by idepth variance, which we do not
+    track yet).
+    """
+    k = window.num_slots
+    newest = jnp.sum(window.frame_valid) - 1
+    poses = window.poses()
+    t_w_newest = jax.tree_util.tree_map(lambda x: x[newest], poses)
+    t_n = SE3(t_w_newest.q, t_w_newest.t).inverse()
+
+    # relative pose newest ← each frame
+    t_rel = SE3(t_n.q[None].repeat(k, 0), t_n.t[None].repeat(k, 0)).compose(poses)
+
+    lm_mask = active_lm_mask(window) & ~window.lm_outlier
+    # exclude landmarks anchored in the newest frame itself? the reference
+    # skips the newest frame in the loop; its landmarks are usually not yet
+    # activated, so the mask below reproduces that.
+    anchor_ids = jnp.arange(k)
+    lm_mask = lm_mask & (anchor_ids != newest)[:, None]
+
+    rp = reproject(
+        model, model, window.lm_uv,
+        window.lm_idepth,
+        SE3(t_rel.q[:, None, :], t_rel.t[:, None, :]),
+    )
+    ok = lm_mask & rp.valid
+
+    xs = jnp.clip(jnp.round(rp.uv[..., 0]).astype(jnp.int32), 0, width - 1)
+    ys = jnp.clip(jnp.round(rp.uv[..., 1]).astype(jnp.int32), 0, height - 1)
+    w = jnp.where(ok, 1.0, 0.0).reshape(-1)
+    idep_w = (jnp.where(ok, rp.idepth, 0.0) * jnp.where(ok, 1.0, 0.0)).reshape(-1)
+    flat = (ys * width + xs).reshape(-1)
+
+    idepth0 = jnp.zeros(height * width, window.lm_uv.dtype).at[flat].add(idep_w)
+    weight0 = jnp.zeros(height * width, window.lm_uv.dtype).at[flat].add(w)
+    idepth0 = idepth0.reshape(height, width)
+    weight0 = weight0.reshape(height, width)
+
+    idepths, weights = [idepth0], [weight0]
+    for _ in range(1, num_levels):
+        prev_i, prev_w = idepths[-1], weights[-1]
+        h2 = (prev_i.shape[0] // 2) * 2
+        w2 = (prev_i.shape[1] // 2) * 2
+        pi = prev_i[:h2, :w2]
+        pw = prev_w[:h2, :w2]
+        idepths.append(pi[0::2, 0::2] + pi[0::2, 1::2] + pi[1::2, 0::2] + pi[1::2, 1::2])
+        weights.append(pw[0::2, 0::2] + pw[0::2, 1::2] + pw[1::2, 0::2] + pw[1::2, 1::2])
+
+    # dilate: empty pixels take the 3×3 neighborhood accumulation
+    def dilate(i, w):
+        ip = jnp.pad(i, 1)
+        wp = jnp.pad(w, 1)
+        i_sum = sum(
+            ip[1 + dy : ip.shape[0] - 1 + dy, 1 + dx : ip.shape[1] - 1 + dx]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        )
+        w_sum = sum(
+            wp[1 + dy : wp.shape[0] - 1 + dy, 1 + dx : wp.shape[1] - 1 + dx]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        )
+        empty = w == 0
+        return jnp.where(empty, i_sum, i), jnp.where(empty, w_sum, w)
+
+    out_i, out_w = [], []
+    for i, w_ in zip(idepths, weights):
+        di, dw = dilate(i, w_)
+        out_i.append(di)
+        out_w.append(dw)
+    return tuple(out_i), tuple(out_w)
+
+
+def depth_map_level_points(idepth_map, weight_map, pixel_map, max_points: int):
+    """Turn one (idepth, weight) level into fixed-slot frontend LevelPoints.
+
+    Selects up to ``max_points`` pixels with weight > 0 (deterministic
+    top-k by weight), normalizing accumulated idepth.
+    """
+    h, w = idepth_map.shape
+    flat_w = weight_map.reshape(-1)
+    k = min(max_points, flat_w.shape[0])
+    top_w, idx = jax.lax.top_k(flat_w, k)
+    ys = (idx // w).astype(idepth_map.dtype)
+    xs = (idx % w).astype(idepth_map.dtype)
+    uv = jnp.stack([xs, ys], axis=-1)
+    idep = idepth_map.reshape(-1)[idx] / jnp.maximum(top_w, 1e-12)
+    vals = pixel_map[0].reshape(-1)[idx]
+    valid = (top_w > 0) & (idep > 1e-6)
+    pad = max_points - k
+    if pad > 0:
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), uv.dtype)])
+        idep = jnp.concatenate([idep, jnp.zeros((pad,), idep.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return LevelPoints(uv, idep, vals, valid)
+
+
+@jax.jit
+def mean_square_optical_flow(idepth_map, weight_map, model, t_t_r: SE3,
+                             border: int = 4):
+    """RMS ray-space flow of the depth-map pixels under ``t_t_r``
+    (calculateMeanSquareOpticalFlow, monocular_tracker.cpp:105-134)."""
+    h, w = idepth_map.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    uv = jnp.stack([xs, ys], -1).astype(idepth_map.dtype)
+    weight = weight_map
+    idep = idepth_map / jnp.maximum(weight, 1e-12)
+    valid = (
+        (weight > 0) & (idep > 1e-6)
+        & (xs >= border) & (xs < w - border) & (ys >= border) & (ys < h - border)
+    )
+    rp = reproject(model, model, uv, idep, t_t_r)
+    ray0 = model.unproject(uv)
+    ray1 = model.unproject(rp.uv)
+    ok = valid & rp.valid
+    d2 = jnp.sum((ray0 - ray1) ** 2, axis=-1)
+    n = jnp.maximum(jnp.sum(ok), 1)
+    return jnp.sqrt(jnp.sum(jnp.where(ok, d2, 0.0)) / n.astype(d2.dtype))

@@ -1,0 +1,376 @@
+"""Monocular direct tracker: the per-frame ``tick`` orchestration.
+
+TPU-native analog of the reference ``MonocularTracker``
+(reference: src/tracker/tracker/src/monocular_tracker.cpp:425-530 tick,
+:105-174 flow statistic + initialization poses, :176-250 estimatePose with
+re-tracking).  Flow per frame:
+
+1. build the photometric pyramid (device);
+2. frontend pose alignment against the last keyframe's semi-dense depth
+   map — the reference's sequential multi-initialization retry loop is a
+   batched hypothesis axis (const motion, double, half, zero, zero-from-kf,
+   + rotation perturbations), gated by the 2.5× energy-ratio test;
+3. epipolar depth update of every active keyframe's immature bank (vmapped
+   over the window slot axis);
+4. optical-flow statistics → keyframe decision;
+5. non-keyframe: attach to the last keyframe.  Keyframe: push into the PBA
+   window, activate immature landmarks, windowed solve, marginalization
+   policy + fold, rebuild the frontend depth maps.
+
+Host code only takes decisions from scalar summaries; all per-pixel and
+per-landmark work is jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsopp_tpu.core.interpolate import sample
+from dsopp_tpu.core.lie import SE3
+from dsopp_tpu.core.pattern import shift_pattern
+from dsopp_tpu.features.extractor import select_candidates
+from dsopp_tpu.features.pyramid import build_pyramid_maps
+from dsopp_tpu.solvers.pba import (
+    PBAOptions,
+    Window,
+    empty_window,
+    marginalize as pba_marginalize,
+    push_frame,
+    solve_window,
+)
+from dsopp_tpu.solvers.pose_alignment import AlignmentOptions, align_pyramid
+from dsopp_tpu.track.state import AttachedFrame, MarginalizedKeyframe, OdometryTrack
+from dsopp_tpu.tracker.activation import LandmarksActivator
+from dsopp_tpu.tracker.depth_estimation import (
+    ImmaturePoints,
+    estimate_depths,
+    make_immature_points,
+)
+from dsopp_tpu.tracker.depth_map import (
+    build_depth_maps,
+    depth_map_level_points,
+    mean_square_optical_flow,
+)
+from dsopp_tpu.tracker.keyframe_strategy import OpticalFlowKeyframeStrategy
+from dsopp_tpu.tracker.marginalization import SparseMarginalizationStrategy
+
+ENERGY_RATIO_THRESHOLD = 2.5  # re-track gate (monocular_tracker.cpp:185)
+
+
+@dataclass
+class TrackerConfig:
+    num_frame_slots: int = 8
+    landmarks_per_frame: int = 300
+    immature_per_frame: int = 500
+    desired_points: int = 2000
+    pyramid_levels: int = 5
+    frontend_points: int = 2000      # semi-dense points per level for alignment
+    keyframe_factor: float = 1.0
+    window_min: int = 5
+    window_max: int = 7
+    max_marginalized_fraction: float = 0.95
+    huber_sigma: float = 20.0
+    use_rotation_perturbations: bool = True
+
+
+def _initialization_hypotheses(t_w_last: SE3, t_prev_rel: SE3, t_w_kf: SE3,
+                               with_perturbations: bool, dtype):
+    """Batched initial poses T_w_t (initializationPoses, :137-171)."""
+    cands = [
+        t_w_last @ t_prev_rel,                                # const motion
+        t_w_last @ t_prev_rel @ t_prev_rel,                   # double
+        t_w_last @ SE3.exp(0.5 * t_prev_rel.log()),           # half
+        t_w_last,                                             # zero
+        t_w_kf,                                               # zero from kf
+    ]
+    if with_perturbations:
+        base = cands[0]
+        deg = math.pi / 180.0
+        for delta in (1.0 * deg, 1.5 * deg, 2.0 * deg, 2.5 * deg):
+            for dx in (0.0, delta, -delta):
+                for dy in (0.0, delta, -delta):
+                    for dz in (0.0, delta, -delta):
+                        if dx == dy == dz == 0.0:
+                            continue
+                        xi = jnp.asarray([0, 0, 0, dx, dy, dz], dtype)
+                        cands.append(base @ SE3.exp(xi))
+    return SE3(jnp.stack([c.q for c in cands]), jnp.stack([c.t for c in cands]))
+
+
+_estimate_depths_banked = jax.vmap(
+    estimate_depths,
+    in_axes=(0, None, None, 0, 0, None, 0, None, None),
+)
+
+
+class MonocularTracker:
+    """Direct sparse odometry over one camera stream."""
+
+    def __init__(self, camera, config: TrackerConfig = TrackerConfig(),
+                 dtype=jnp.float32, image_shape=None):
+        self.camera = camera
+        self.config = config
+        self.dtype = dtype
+        h = int(np.asarray(camera.image_size)[1])
+        w = int(np.asarray(camera.image_size)[0])
+        self.image_shape = (h, w) if image_shape is None else image_shape
+        self.models = [camera.scaled(float(2 ** l)) for l in range(config.pyramid_levels)]
+
+        self.window: Window = empty_window(
+            config.num_frame_slots, config.landmarks_per_frame,
+            (3,) + self.image_shape, dtype=dtype)
+        self.immature: Optional[ImmaturePoints] = None  # [K] bank
+        self.track = OdometryTrack()
+
+        self.keyframe_strategy = OpticalFlowKeyframeStrategy(config.keyframe_factor)
+        self.marg_strategy = SparseMarginalizationStrategy(
+            config.window_min, config.window_max, config.max_marginalized_fraction)
+        self.activator = LandmarksActivator(config.desired_points)
+        self.pba_opts = PBAOptions(huber_sigma=config.huber_sigma)
+        self.align_opts = AlignmentOptions(huber_sigma=config.huber_sigma)
+
+        # frontend state
+        self.level_points = None       # list[LevelPoints] from last keyframe
+        self.depth_maps = None         # ((idepth,...), (weight,...))
+        self.rmse_last = [1e8] * config.pyramid_levels
+        self.t_w_last: Optional[SE3] = None
+        self.t_prev_rel = SE3.identity((), dtype)
+        self.last_affine = jnp.zeros(2, dtype)
+        self.num_keyframes = 0
+
+    # ------------------------------------------------------------------
+    def is_initialized(self) -> bool:
+        return self.num_keyframes >= 2
+
+    def _kf_pose(self) -> SE3:
+        pos = self.window.frame_count() - 1
+        poses = self.window.poses()
+        return SE3(poses.q[pos], poses.t[pos])
+
+    def _kf_id(self) -> int:
+        pos = self.window.frame_count() - 1
+        return int(np.asarray(self.window.frame_id)[pos])
+
+    # ------------------------------------------------------------------
+    def tick(self, frame_id: int, timestamp: float, image,
+             known_pose: Optional[SE3] = None, force_keyframe: bool = False):
+        """Process one frame.  ``known_pose``: precalculated T_w_c (the
+        reference's PrecalculatedPoseAlignment path, used by the
+        initializer)."""
+        image = jnp.asarray(image, self.dtype)
+        maps = build_pyramid_maps(image, self.config.pyramid_levels)
+
+        if self.window.frame_count() == 0:
+            pose = known_pose if known_pose is not None else SE3.identity((), self.dtype)
+            self._push_keyframe(frame_id, timestamp, pose, maps, first=True)
+            self.t_w_last = pose
+            return {"keyframe": True, "pose": pose, "bootstrap": True}
+
+        # ---- frontend pose estimation --------------------------------
+        reliable = True
+        if known_pose is not None:
+            t_w_t = known_pose
+            rmse0 = 0.0
+        else:
+            t_w_t, rmse0, reliable = self._estimate_pose(maps)
+
+        t_w_kf = self._kf_pose()
+        t_t_kf = t_w_t.inverse() @ t_w_kf   # new ← keyframe
+
+        # ---- immature depth update -----------------------------------
+        self._estimate_depths(maps[0], t_w_t)
+
+        # ---- flow statistics + keyframe decision ---------------------
+        flow, flow_no_rot = self._flow_stats(t_t_kf)
+        need_kf = force_keyframe or self.keyframe_strategy.need_new_keyframe(
+            flow, flow_no_rot, rmse0, reliable=reliable)
+
+        self.t_prev_rel = (
+            self.t_w_last.inverse() @ t_w_t if self.t_w_last is not None
+            else SE3.identity((), self.dtype))
+        self.t_w_last = t_w_t
+
+        if not need_kf:
+            t_kf_t = t_w_kf.inverse() @ t_w_t
+            self.track.attach_frame(AttachedFrame(
+                frame_id, timestamp, self._kf_id(),
+                np.asarray(t_kf_t.matrix(), np.float64),
+                flow=flow, flow_without_rotation=flow_no_rot, rmse=rmse0))
+            return {"keyframe": False, "pose": t_w_t, "rmse": rmse0}
+
+        # ---- keyframe path -------------------------------------------
+        stats = self._push_keyframe(frame_id, timestamp, t_w_t, maps)
+        return {"keyframe": True, "pose": self._kf_pose(), "rmse": rmse0, **stats}
+
+    # ------------------------------------------------------------------
+    def _estimate_pose(self, maps):
+        dtype = self.dtype
+        hyps = _initialization_hypotheses(
+            self.t_w_last, self.t_prev_rel, self._kf_pose(),
+            self.config.use_rotation_perturbations, dtype)
+        t_w_kf = self._kf_pose()
+        # relative hypothesis poses: new ← keyframe
+        kf_inv_batch = SE3(
+            jnp.broadcast_to(t_w_kf.q, hyps.q.shape),
+            jnp.broadcast_to(t_w_kf.t, hyps.t.shape))
+        t_t_kf_hyps = hyps.inverse().compose(kf_inv_batch)
+
+        res = align_pyramid(
+            self.level_points, maps, self.models, t_t_kf_hyps,
+            jnp.broadcast_to(self.last_affine, hyps.q.shape[:1] + (2,)),
+            self.last_affine, 1.0, self.align_opts)
+
+        rmse = float(res.rmse)
+        reliable = rmse < ENERGY_RATIO_THRESHOLD * self.rmse_last[0] and int(res.num_valid) > 0
+        if reliable:
+            self.rmse_last[0] = rmse
+        else:
+            self.rmse_last[0] *= ENERGY_RATIO_THRESHOLD
+        t_w_t = self._kf_pose() @ res.t_t_r.inverse()
+        self.last_affine = res.affine
+        return t_w_t, rmse, reliable
+
+    def _estimate_depths(self, target_map, t_w_t: SE3):
+        if self.immature is None:
+            return
+        poses = self.window.poses()
+        k = self.window.num_slots
+        t_inv = t_w_t.inverse()
+        t_rel = SE3(
+            jnp.broadcast_to(t_inv.q, (k, 4)),
+            jnp.broadcast_to(t_inv.t, (k, 3))).compose(poses)
+        affines = self.window.affine()
+        ratios = jnp.ones(k, self.dtype)
+        self.immature = _estimate_depths_banked(
+            self.immature, target_map, self.camera, t_rel,
+            affines, self.last_affine, ratios,
+            self.config.huber_sigma, 32)
+
+    def _flow_stats(self, t_t_kf: SE3):
+        if self.depth_maps is None:
+            return 0.0, 0.0
+        idep, wei = self.depth_maps
+        flow = float(mean_square_optical_flow(idep[0], wei[0], self.camera, t_t_kf))
+        no_rot = SE3(jnp.asarray([1.0, 0, 0, 0], self.dtype), t_t_kf.t)
+        flow_nr = float(mean_square_optical_flow(idep[0], wei[0], self.camera, no_rot))
+        return flow, flow_nr
+
+    # ------------------------------------------------------------------
+    def _make_immature_bank(self, maps):
+        pm = maps[0]
+        cands = select_candidates(pm, self.config.immature_per_frame)
+        pattern = shift_pattern(cands.uv)
+        patches, _ = sample(pm, pattern)
+        grads, _ = sample(pm, cands.uv)
+        bank = make_immature_points(
+            cands.uv, patches[..., 0], grads[..., 1:], dtype=self.dtype)
+        return bank._replace(valid=bank.valid & cands.valid)
+
+    def _push_keyframe(self, frame_id, timestamp, pose: SE3, maps, first=False):
+        cfg = self.config
+        pose = SE3(jnp.asarray(pose.q, self.dtype), jnp.asarray(pose.t, self.dtype))
+
+        self.window = push_frame(
+            self.window, pose, maps[0], frame_id=frame_id, fixed=first,
+            affine=np.asarray(self.last_affine, np.float64) if not first else (0.0, 0.0))
+        self.track.on_keyframe(frame_id, timestamp)
+        self.num_keyframes += 1
+
+        new_bank = self._make_immature_bank(maps)
+        if self.immature is None:
+            self.immature = jax.tree_util.tree_map(
+                lambda x: jnp.zeros((cfg.num_frame_slots,) + x.shape, x.dtype),
+                new_bank)
+        slot = self.window.frame_count() - 1
+        self.immature = jax.tree_util.tree_map(
+            lambda bank, new: bank.at[slot].set(new), self.immature, new_bank)
+
+        stats = {}
+        if not first:
+            self.window, self.immature, act_stats = self.activator.activate(
+                self.window, self.camera, self.immature)
+            self.window, solve_stats = solve_window(
+                self.window, self.camera, self.pba_opts)
+            self.last_affine = self.window.affine()[slot]
+            stats = {**act_stats, **solve_stats}
+
+            imm_counts = np.asarray(jnp.sum(self.immature.valid, axis=1))
+            frame_flags, lm_flags, new_outliers = self.marg_strategy.flags(
+                self.window, imm_counts)
+            self.window = dataclasses.replace(
+                self.window,
+                lm_outlier=self.window.lm_outlier | jnp.asarray(new_outliers),
+            )
+            if frame_flags.any() or lm_flags.any():
+                self._snapshot_marginalized(frame_flags, timestamp)
+                self.window = dataclasses.replace(
+                    self.window,
+                    frame_marg=jnp.asarray(frame_flags),
+                    lm_marg_flag=jnp.asarray(lm_flags),
+                )
+                ids_before = np.asarray(self.window.frame_id).copy()
+                self.window = pba_marginalize(self.window, self.camera, self.pba_opts)
+                self._permute_immature(ids_before, frame_flags)
+
+        # rebuild frontend reference depth maps + per-level points
+        h, w = self.image_shape
+        idep, wei = build_depth_maps(
+            self.window, self.camera, h, w, cfg.pyramid_levels)
+        self.depth_maps = (idep, wei)
+        kf_maps = maps
+        self.level_points = [
+            depth_map_level_points(idep[l], wei[l], kf_maps[l], cfg.frontend_points)
+            for l in range(cfg.pyramid_levels)
+        ]
+        return stats
+
+    def _snapshot_marginalized(self, frame_flags, timestamp):
+        poses = self.window.poses()
+        ids = np.asarray(self.window.frame_id)
+        for pos in np.where(frame_flags)[0]:
+            fid = int(ids[pos])
+            self.track.on_marginalize(MarginalizedKeyframe(
+                frame_id=fid,
+                timestamp=self.track.keyframe_timestamps.get(fid, timestamp),
+                t_wc=np.asarray(SE3(poses.q[pos], poses.t[pos]).matrix(), np.float64),
+                affine=np.asarray(self.window.affine()[pos], np.float64),
+                exposure=float(self.window.exposure[pos]),
+                lm_uv=np.asarray(self.window.lm_uv[pos]),
+                lm_idepth=np.asarray(self.window.lm_idepth[pos]),
+                lm_valid=np.asarray(self.window.lm_valid[pos]),
+                lm_outlier=np.asarray(self.window.lm_outlier[pos]),
+                lm_baseline=np.asarray(self.window.lm_baseline[pos]),
+            ))
+
+    def _permute_immature(self, ids_before, frame_flags):
+        """Reorder immature banks to match the compacted window slots."""
+        ids_after = np.asarray(self.window.frame_id)
+        perm = []
+        for fid in ids_after:
+            if fid < 0:
+                perm.append(len(ids_before) - 1)  # any dead slot
+            else:
+                perm.append(int(np.where(ids_before == fid)[0][0]))
+        perm = jnp.asarray(perm)
+        self.immature = jax.tree_util.tree_map(lambda x: x[perm], self.immature)
+        # dead slots: invalidate
+        dead = jnp.asarray(ids_after < 0)
+        self.immature = self.immature._replace(
+            valid=self.immature.valid & ~dead[:, None])
+
+    # ------------------------------------------------------------------
+    def initialize(self, frames):
+        """Bootstrap from externally provided poses (the reference's
+        precalculated initializer path: replay frames with known poses,
+        forcing the last one to become a keyframe)."""
+        for i, (frame_id, timestamp, image, pose) in enumerate(frames):
+            last = i == len(frames) - 1
+            self.tick(frame_id, timestamp, image, known_pose=pose,
+                      force_keyframe=last)
