@@ -1,0 +1,96 @@
+"""dsopp_main-equivalent CLI.
+
+Mirrors the reference application (reference:
+src/application/dsopp_main.cpp:26-118): flags for config path, output path,
+determinism; ``--config.*`` dot-path overrides; runs the pipeline, reports
+an FPS status line (dsopp.cpp:45-73), writes the track and a TUM trajectory.
+
+Usage::
+
+    python -m dsopp_tpu.app.main --config_file_path mono.yaml \
+        --output_file_path track.npz [--config.tracker.keyframe_strategy.factor=2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    parser = argparse.ArgumentParser(description="dsopp_tpu direct odometry")
+    parser.add_argument("--config_file_path", required=True)
+    parser.add_argument("--output_file_path", default="track.npz")
+    parser.add_argument("--trajectory_file_path", default=None,
+                        help="optional TUM trajectory output")
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--deterministic", action="store_true",
+                        help="single-device deterministic execution")
+    parser.add_argument("--float64", action="store_true",
+                        help="run in float64 (CPU oracle mode)")
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                        help="force a JAX platform (default: environment)")
+    args, unknown = parser.parse_known_args(argv)
+
+    overrides = [a for a in unknown if a.startswith("--config.")]
+    bad = [a for a in unknown if not a.startswith("--config.")]
+    if bad:
+        parser.error(f"unknown arguments: {bad}")
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.float64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from dsopp_tpu.config import apply_overrides, build_application, load_config
+    from dsopp_tpu.output.storage import save_track
+    from dsopp_tpu.output.tum import export_tum
+
+    config = load_config(args.config_file_path)
+    config = apply_overrides(config, overrides)
+    base_dir = os.path.dirname(os.path.abspath(args.config_file_path))
+    app = build_application(
+        config, base_dir, jnp.float64 if args.float64 else jnp.float32)
+
+    t0 = time.time()
+    frame_times = []
+
+    def on_frame(frame, result):
+        frame_times.append(time.time())
+        window = frame_times[-50:]
+        if len(window) >= 2:
+            fps = (len(window) - 1) / max(window[-1] - window[0], 1e-9)
+        else:
+            fps = 0.0
+        kind = "KF" if result.get("keyframe") else "  "
+        print(f"frame {frame.frame_id} {kind} fps(50)={fps:5.1f}", flush=True)
+
+    n = app.run(max_frames=args.max_frames, on_frame=on_frame)
+    total = time.time() - t0
+    print(f"processed {n} frames in {total:.1f}s "
+          f"({n / max(total, 1e-9):.2f} fps total)")
+
+    model = app.camera.camera_model()
+    camera_info = {
+        "fx": float(model.fx), "fy": float(model.fy),
+        "cx": float(model.cx), "cy": float(model.cy),
+    }
+    save_track(args.output_file_path, app.tracker.track, app.tracker.window,
+               camera_info)
+    print(f"track written to {args.output_file_path}")
+
+    if args.trajectory_file_path:
+        entries = app.tracker.track.trajectory(app.tracker.window)
+        export_tum(args.trajectory_file_path, entries)
+        print(f"trajectory written to {args.trajectory_file_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,168 @@
+"""YAML config with dot-path overrides → application objects.
+
+Mirrors the reference ``ConfigLoader`` (reference:
+src/dsopp/src/config_loader.cpp:56-168 — YAML parsed into nested maps with
+path canonization, and ``--config.a.b.0.c=v`` dot-path CLI overrides merged
+before construction; :173 builds sensors/synchronizer/tracker from the
+merged tree) and the fabric pattern (docs/extending_dsopp.md).
+
+The same YAML schema as the reference ships (mono.yaml etc.) is accepted;
+unknown keys warn and fall back to defaults, like the reference fabrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+log = logging.getLogger("dsopp_tpu.config")
+
+
+def load_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def apply_overrides(config: dict, overrides) -> dict:
+    """Merge ``--config.a.b.0.c=value`` style overrides into the tree.
+
+    Mirrors parseConfigArgs + updateConfig (dsopp_main.cpp:41,
+    config_loader.cpp:146-168): integer path components index lists, the
+    final component is replaced with a YAML-parsed scalar.
+    """
+    import copy
+
+    import yaml
+
+    config = copy.deepcopy(config)
+    for item in overrides:
+        if item.startswith("--config."):
+            item = item[len("--config."):]
+        path, _, raw = item.partition("=")
+        keys = path.split(".")
+        node = config
+        for key in keys[:-1]:
+            node = node[int(key)] if isinstance(node, list) else node.setdefault(key, {})
+        leaf = keys[-1]
+        value = yaml.safe_load(raw)
+        if isinstance(node, list):
+            node[int(leaf)] = value
+        else:
+            node[leaf] = value
+    return config
+
+
+@dataclass
+class Application:
+    """Constructed pipeline (reference DSOPP facade analog)."""
+
+    camera: object        # sensors.Camera
+    tracker: object       # tracker.MonocularTracker
+    config: dict
+    init_poses: Optional[dict] = None   # timestamp → SE3 (bootstrap poses)
+    init_frames: int = 8
+
+    def run(self, max_frames: Optional[int] = None, on_frame=None):
+        """Main loop (reference dsopp.cpp:102-145): pull synchronized
+        frames, tick the tracker (bootstrap frames replay known poses, the
+        reference's precalculated-initializer path), notify observers."""
+        n = 0
+        while True:
+            frame = self.camera.next_frame()
+            if frame is None or (max_frames is not None and n >= max_frames):
+                break
+            known_pose = None
+            force_kf = False
+            if self.init_poses is not None and not self.tracker.is_initialized():
+                known_pose = self._lookup_pose(frame.timestamp)
+                force_kf = n == self.init_frames - 1
+            result = self.tracker.tick(
+                frame.frame_id, frame.timestamp, frame.image,
+                known_pose=known_pose, force_keyframe=force_kf)
+            if on_frame is not None:
+                on_frame(frame, result)
+            n += 1
+        return n
+
+    def _lookup_pose(self, timestamp):
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from dsopp_tpu.core.lie import SE3
+
+        times = np.asarray(sorted(self.init_poses))
+        idx = int(np.argmin(np.abs(times - timestamp)))
+        mat = self.init_poses[float(times[idx])]
+        dtype = self.tracker.dtype
+        return SE3.from_matrix(jnp.asarray(mat, dtype))
+
+
+def build_tracker_config(tracker_params: dict):
+    from dsopp_tpu.tracker.monocular import TrackerConfig
+
+    cfg = TrackerConfig()
+    cfg.desired_points = int(tracker_params.get("number_of_desired_points",
+                                                cfg.desired_points))
+    kf = tracker_params.get("keyframe_strategy", {})
+    cfg.keyframe_factor = float(kf.get("factor", cfg.keyframe_factor))
+    marg = tracker_params.get("marginalization_strategy", {})
+    cfg.window_min = int(marg.get("minimum_size", cfg.window_min))
+    cfg.window_max = int(marg.get("maximum_size", cfg.window_max))
+    cfg.max_marginalized_fraction = float(
+        marg.get("maximum_percentage_of_marginalized_points_in_frame",
+                 cfg.max_marginalized_fraction))
+    cfg.num_frame_slots = cfg.window_max + 1
+    cfg.landmarks_per_frame = max(
+        64, cfg.desired_points // max(cfg.window_max - 1, 1))
+    return cfg
+
+
+def build_application(config: dict, base_dir: str = ".", dtype=None) -> Application:
+    import jax.numpy as jnp
+
+    from dsopp_tpu.sensors.camera import Camera
+    from dsopp_tpu.tracker.monocular import MonocularTracker
+
+    dtype = jnp.float32 if dtype is None else dtype
+
+    sensors = config.get("sensors", [])
+    camera_params = None
+    for s in sensors:
+        if s.get("type") == "camera":
+            camera_params = s
+            break
+    if camera_params is None:
+        raise ValueError("config has no camera sensor")
+    camera = Camera.from_config(
+        camera_params.get("id", "camera_1"), camera_params, base_dir)
+
+    tracker_params = config.get("tracker", {})
+    if tracker_params.get("type", "monocular") != "monocular":
+        log.warning("unknown tracker type %r; using monocular",
+                    tracker_params.get("type"))
+    cfg = build_tracker_config(tracker_params)
+    model = camera.camera_model(0, dtype)
+    tracker = MonocularTracker(model, cfg, dtype=dtype)
+
+    # bootstrap: precalculated poses (reference precalculated_pose_alignment /
+    # pose_alignment poses_file).  The feature-based initializer plugs in the
+    # same way once poses are unavailable.
+    init_poses = None
+    init_frames = 8
+    init_params = config.get("initializer", {})
+    poses_file = init_params.get("poses_file") or (
+        tracker_params.get("pose_alignment", {}) or {}).get("poses_file")
+    if init_params.get("type") == "precalculated" or poses_file:
+        from dsopp_tpu.output.tum import load_tum
+
+        entries = load_tum(os.path.join(base_dir, poses_file))
+        init_poses = {float(t): m for t, m in entries}
+        init_frames = int(init_params.get("num_frames", init_frames))
+
+    return Application(camera=camera, tracker=tracker, config=config,
+                       init_poses=init_poses, init_frames=init_frames)

@@ -1,0 +1,147 @@
+"""Camera sensor: provider → photometric correction → undistortion → frames.
+
+Mirrors the reference ``Camera`` sensor per-frame pipeline
+(reference: src/sensors/camera/src/camera.cpp:26-77 — provider → undistort →
+transformers → CameraFeatures with lazy pyramid/features; mask pyramid
+ownership) and ``CameraSettings`` (camera_settings.hpp:19-99).
+
+Differences: pyramids/features are built by the tracker's jitted tick (no
+lazy CPU extraction), so the sensor only produces corrected, undistorted
+float images + metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dsopp_tpu.sensors.calibration import (
+    CameraCalibration,
+    load_calibration,
+    load_photometric_calibration,
+    load_vignetting,
+)
+from dsopp_tpu.sensors.masks import load_mask
+from dsopp_tpu.sensors.photometric import correct_image
+from dsopp_tpu.sensors.providers import CameraDataFrame, create_provider
+from dsopp_tpu.sensors.undistorter import (
+    Undistorter,
+    build_remaps,
+    identity_undistorter,
+)
+
+
+@dataclass
+class CameraSettings:
+    """Calibration bundle of one camera (camera_settings.hpp analog)."""
+
+    calibration: CameraCalibration
+    inverse_response: np.ndarray             # 256-entry G⁻¹
+    vignetting: Optional[np.ndarray] = None  # [H, W] attenuation
+    mask: Optional[object] = None            # [H, W] bool
+    undistorter: Optional[Undistorter] = None
+
+    @staticmethod
+    def from_files(calib_path, pcalib_path=None, vignette_path=None,
+                   mask_path=None, transform_to_pinhole=True,
+                   shutter_time=0.0) -> "CameraSettings":
+        calib = load_calibration(calib_path, shutter_time)
+        und = None
+        if calib.model_type != "pinhole" and transform_to_pinhole:
+            src = calib.camera_model(0, jnp.float64)
+            und = build_remaps(src)
+            tgt = und.target_model
+            calib = CameraCalibration(
+                "pinhole", calib.image_size,
+                np.asarray([float(tgt.fx), float(tgt.fy),
+                            float(tgt.cx), float(tgt.cy)]),
+                calib.shutter_time)
+        mask = load_mask(mask_path, calib.image_size)
+        return CameraSettings(
+            calibration=calib,
+            inverse_response=load_photometric_calibration(pcalib_path),
+            vignetting=load_vignetting(vignette_path),
+            mask=mask,
+            undistorter=und,
+        )
+
+
+@dataclass
+class Camera:
+    """Camera sensor: pulls provider frames through the correction chain."""
+
+    sensor_id: str
+    provider: object
+    settings: CameraSettings
+    resize_ratio: float = 1.0
+
+    _vignetting_dev: object = field(default=None, repr=False)
+
+    @staticmethod
+    def from_config(sensor_id: str, params: dict, base_dir: str = ".") -> "Camera":
+        import os
+
+        def p(key, sub):
+            v = sub.get(key)
+            return os.path.join(base_dir, v) if v else None
+
+        provider_params = dict(params["provider"])
+        for key in ("folder", "timestamps", "video_file"):
+            if key in provider_params:
+                provider_params[key] = os.path.join(base_dir, provider_params[key])
+        provider = create_provider(provider_params)
+
+        model_params = params.get("model", {})
+        settings = CameraSettings.from_files(
+            p("calibration", model_params),
+            p("photometric_calibration", model_params),
+            p("vignetting", model_params),
+            p("camera_mask", params),
+            shutter_time=float(model_params.get("shutter_time_seconds", 0.0)),
+        )
+        ratio = 1.0
+        transforms = params.get("transformations", {})
+        if "resize_transformer" in transforms:
+            ratio = float(transforms["resize_transformer"].get("resize_ratio", 1.0))
+        return Camera(sensor_id, provider, settings, ratio)
+
+    def camera_model(self, level: int = 0, dtype=jnp.float32):
+        model = self.settings.calibration.camera_model(0, dtype)
+        if self.resize_ratio != 1.0:
+            model = model.scaled(1.0 / self.resize_ratio)
+        return model.scaled(float(2 ** level)) if level else model
+
+    def next_frame(self) -> Optional[CameraDataFrame]:
+        frame = self.provider.next_frame()
+        if frame is None:
+            return None
+        img = frame.image
+        und = self.settings.undistorter
+        if und is not None and not und.identity:
+            img = und.undistort(img)
+        if self.resize_ratio != 1.0:
+            import cv2
+
+            img = cv2.resize(
+                img, None, fx=self.resize_ratio, fy=self.resize_ratio,
+                interpolation=cv2.INTER_AREA)
+        vignetting = self.settings.vignetting
+        if vignetting is not None and vignetting.shape != img.shape:
+            import cv2
+
+            vignetting = cv2.resize(
+                vignetting, (img.shape[1], img.shape[0]),
+                interpolation=cv2.INTER_AREA)
+            self.settings.vignetting = vignetting
+        corrected = correct_image(
+            jnp.asarray(img),
+            jnp.asarray(self.settings.inverse_response),
+            None if vignetting is None
+            else jnp.asarray(vignetting, jnp.float32),
+        )
+        return CameraDataFrame(frame.frame_id, frame.timestamp,
+                               corrected, frame.exposure)

@@ -138,7 +138,13 @@ class Window:
         return self.affine0 + self.eps[:, 6:]
 
     def frame_count(self):
-        return int(np.asarray(jnp.sum(self.frame_valid)))
+        # memoized: called repeatedly from host orchestration, and each
+        # device→host readback costs a round-trip on remote-attached TPUs
+        cached = getattr(self, "_frame_count_cache", None)
+        if cached is None:
+            cached = int(np.asarray(jnp.sum(self.frame_valid)))
+            object.__setattr__(self, "_frame_count_cache", cached)
+        return cached
 
 
 def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float32) -> Window:

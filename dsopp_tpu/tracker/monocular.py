@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional
 
 import jax
@@ -62,6 +63,35 @@ from dsopp_tpu.tracker.keyframe_strategy import OpticalFlowKeyframeStrategy
 from dsopp_tpu.tracker.marginalization import SparseMarginalizationStrategy
 
 ENERGY_RATIO_THRESHOLD = 2.5  # re-track gate (monocular_tracker.cpp:185)
+
+
+# Coarse jit wrappers: on remote-attached TPUs every eager op is a host
+# round-trip, so each tick phase must be a single device program.
+@partial(jax.jit, static_argnames=("num_levels",))
+def _jit_pyramid_maps(image, num_levels):
+    return build_pyramid_maps(image, num_levels)
+
+
+@partial(jax.jit, static_argnames=("num_points",))
+def _jit_immature_inputs(pixel_map, num_points):
+    cands = select_candidates(pixel_map, num_points)
+    patches, _ = sample(pixel_map, shift_pattern(cands.uv))
+    grads, _ = sample(pixel_map, cands.uv)
+    return cands, patches[..., 0], grads[..., 1:]
+
+
+@partial(jax.jit, static_argnames=("with_perturbations",))
+def _jit_hypotheses(last_q, last_t, prev_q, prev_t, kf_q, kf_t,
+                    with_perturbations):
+    t_w_last = SE3(last_q, last_t)
+    t_prev_rel = SE3(prev_q, prev_t)
+    t_w_kf = SE3(kf_q, kf_t)
+    hyps = _initialization_hypotheses(
+        t_w_last, t_prev_rel, t_w_kf, with_perturbations, last_q.dtype)
+    kf_b = SE3(jnp.broadcast_to(kf_q, hyps.q.shape),
+               jnp.broadcast_to(kf_t, hyps.t.shape))
+    t_t_kf = hyps.inverse().compose(kf_b)
+    return t_t_kf
 
 
 @dataclass
@@ -165,7 +195,7 @@ class MonocularTracker:
         reference's PrecalculatedPoseAlignment path, used by the
         initializer)."""
         image = jnp.asarray(image, self.dtype)
-        maps = build_pyramid_maps(image, self.config.pyramid_levels)
+        maps = _jit_pyramid_maps(image, self.config.pyramid_levels)
 
         if self.window.frame_count() == 0:
             pose = known_pose if known_pose is not None else SE3.identity((), self.dtype)
@@ -211,20 +241,16 @@ class MonocularTracker:
 
     # ------------------------------------------------------------------
     def _estimate_pose(self, maps):
-        dtype = self.dtype
-        hyps = _initialization_hypotheses(
-            self.t_w_last, self.t_prev_rel, self._kf_pose(),
-            self.config.use_rotation_perturbations, dtype)
         t_w_kf = self._kf_pose()
-        # relative hypothesis poses: new ← keyframe
-        kf_inv_batch = SE3(
-            jnp.broadcast_to(t_w_kf.q, hyps.q.shape),
-            jnp.broadcast_to(t_w_kf.t, hyps.t.shape))
-        t_t_kf_hyps = hyps.inverse().compose(kf_inv_batch)
+        t_t_kf_hyps = _jit_hypotheses(
+            self.t_w_last.q, self.t_w_last.t,
+            self.t_prev_rel.q, self.t_prev_rel.t,
+            t_w_kf.q, t_w_kf.t,
+            self.config.use_rotation_perturbations)
 
         res = align_pyramid(
             self.level_points, maps, self.models, t_t_kf_hyps,
-            jnp.broadcast_to(self.last_affine, hyps.q.shape[:1] + (2,)),
+            jnp.broadcast_to(self.last_affine, t_t_kf_hyps.q.shape[:1] + (2,)),
             self.last_affine, 1.0, self.align_opts)
 
         rmse = float(res.rmse)
@@ -264,13 +290,9 @@ class MonocularTracker:
 
     # ------------------------------------------------------------------
     def _make_immature_bank(self, maps):
-        pm = maps[0]
-        cands = select_candidates(pm, self.config.immature_per_frame)
-        pattern = shift_pattern(cands.uv)
-        patches, _ = sample(pm, pattern)
-        grads, _ = sample(pm, cands.uv)
-        bank = make_immature_points(
-            cands.uv, patches[..., 0], grads[..., 1:], dtype=self.dtype)
+        cands, patches, grads = _jit_immature_inputs(
+            maps[0], self.config.immature_per_frame)
+        bank = make_immature_points(cands.uv, patches, grads, dtype=self.dtype)
         return bank._replace(valid=bank.valid & cands.valid)
 
     def _push_keyframe(self, frame_id, timestamp, pose: SE3, maps, first=False):
