@@ -65,28 +65,78 @@ class Application:
     config: dict
     init_poses: Optional[dict] = None   # timestamp → SE3 (bootstrap poses)
     init_frames: int = 8
+    fbs_initializer: Optional[object] = None  # feature-based bootstrap
 
     def run(self, max_frames: Optional[int] = None, on_frame=None):
         """Main loop (reference dsopp.cpp:102-145): pull synchronized
-        frames, tick the tracker (bootstrap frames replay known poses, the
-        reference's precalculated-initializer path), notify observers."""
+        frames, feed the initializer until it produces poses (feature-based
+        SLAM by default, precalculated poses_file if configured), then
+        replay them into the direct tracker and continue ticking."""
         n = 0
+        buffered = []   # frames retained while the FBS initializer runs
         while True:
             frame = self.camera.next_frame()
             if frame is None or (max_frames is not None and n >= max_frames):
                 break
-            known_pose = None
-            force_kf = False
-            if self.init_poses is not None and not self.tracker.is_initialized():
-                known_pose = self._lookup_pose(frame.timestamp)
-                force_kf = n == self.init_frames - 1
-            result = self.tracker.tick(
-                frame.frame_id, frame.timestamp, frame.image,
-                known_pose=known_pose, force_keyframe=force_kf)
+            result = None
+            if not self.tracker.is_initialized():
+                if self.init_poses is not None:
+                    known_pose = self._lookup_pose(frame.timestamp)
+                    force_kf = n == self.init_frames - 1
+                    result = self.tracker.tick(
+                        frame.frame_id, frame.timestamp, frame.image,
+                        known_pose=known_pose, force_keyframe=force_kf)
+                else:
+                    # feature-based bootstrap (reference dsopp.cpp:129-131)
+                    import numpy as np
+
+                    fbs = self._fbs()
+                    img_np = np.asarray(frame.image)
+                    buffered.append((frame.frame_id, frame.timestamp, img_np))
+                    done = fbs.process(frame.frame_id, frame.timestamp, img_np)
+                    if done:
+                        by_id = {fid: (ts, mat) for fid, ts, mat in fbs.poses}
+                        replay = [
+                            (fid, ts, img, self._pose_from_matrix(by_id[fid][1]))
+                            for fid, ts, img in buffered if fid in by_id
+                        ]
+                        self.tracker.initialize(replay)
+                        buffered = []
+                    result = {"keyframe": done, "bootstrap": True}
+            else:
+                result = self.tracker.tick(
+                    frame.frame_id, frame.timestamp, frame.image)
             if on_frame is not None:
                 on_frame(frame, result)
             n += 1
         return n
+
+    def _fbs(self):
+        if self.fbs_initializer is None:
+            from dsopp_tpu.fbs import InitializerOptions, MonocularInitializer
+
+            model = self.camera.camera_model(0)
+            opts = InitializerOptions()
+            init_cfg = self.config.get("initializer", {})
+            opts.num_features = int(init_cfg.get(
+                "features_extractor", {}).get("number_of_features",
+                                              opts.num_features))
+            opts.se3_inlier_ratio = float(init_cfg.get(
+                "se3_inlier_ratio", opts.se3_inlier_ratio))
+            opts.essential_ransac_threshold_px = float(init_cfg.get(
+                "essential_matrix_ransac_threshold",
+                opts.essential_ransac_threshold_px))
+            opts.pnp_ransac_threshold_px = float(init_cfg.get(
+                "pnp_ransac_threshold", opts.pnp_ransac_threshold_px))
+            self.fbs_initializer = MonocularInitializer(model, opts)
+        return self.fbs_initializer
+
+    def _pose_from_matrix(self, mat):
+        import jax.numpy as jnp
+
+        from dsopp_tpu.core.lie import SE3
+
+        return SE3.from_matrix(jnp.asarray(mat, self.tracker.dtype))
 
     def _lookup_pose(self, timestamp):
         import numpy as np

@@ -208,17 +208,14 @@ class MonocularTracker:
         if known_pose is not None:
             t_w_t = known_pose
             rmse0 = 0.0
+            t_w_kf = self._kf_pose()
+            t_t_kf = t_w_t.inverse() @ t_w_kf   # new ← keyframe
+            self._estimate_depths(maps[0], t_w_t)
+            flow, flow_no_rot = self._flow_stats(t_t_kf)
         else:
-            t_w_t, rmse0, reliable = self._estimate_pose(maps)
-
-        t_w_kf = self._kf_pose()
-        t_t_kf = t_w_t.inverse() @ t_w_kf   # new ← keyframe
-
-        # ---- immature depth update -----------------------------------
-        self._estimate_depths(maps[0], t_w_t)
-
-        # ---- flow statistics + keyframe decision ---------------------
-        flow, flow_no_rot = self._flow_stats(t_t_kf)
+            t_w_t, t_t_kf, rmse0, reliable, flow, flow_no_rot, maps = (
+                self._fused_estimate(image))
+            t_w_kf = self._kf_pose()
         need_kf = force_keyframe or self.keyframe_strategy.need_new_keyframe(
             flow, flow_no_rot, rmse0, reliable=reliable)
 
@@ -228,7 +225,8 @@ class MonocularTracker:
         self.t_w_last = t_w_t
 
         if not need_kf:
-            t_kf_t = t_w_kf.inverse() @ t_w_t
+            t_kf_t = t_t_kf.inverse() if known_pose is None else (
+                t_w_kf.inverse() @ t_w_t)
             self.track.attach_frame(AttachedFrame(
                 frame_id, timestamp, self._kf_id(),
                 np.asarray(t_kf_t.matrix(), np.float64),
@@ -262,6 +260,40 @@ class MonocularTracker:
         t_w_t = self._kf_pose() @ res.t_t_r.inverse()
         self.last_affine = res.affine
         return t_w_t, rmse, reliable
+
+    def _fused_estimate(self, image):
+        """One-device-program regular tick (pose + depths + flow)."""
+        from dsopp_tpu.tracker.fused_tick import fused_regular_tick
+
+        poses = self.window.poses()
+        kf_slot = jnp.asarray(self.window.frame_count() - 1, jnp.int32)
+        idep0, wei0 = self.depth_maps[0][0], self.depth_maps[1][0]
+        out = fused_regular_tick(
+            image, tuple(self.level_points), idep0, wei0,
+            poses.q, poses.t, self.window.affine(), kf_slot,
+            self.immature,
+            self.t_w_last.q, self.t_w_last.t,
+            self.t_prev_rel.q, self.t_prev_rel.t,
+            self.last_affine, tuple(self.models),
+            self.align_opts, self.config.use_rotation_perturbations,
+            self.config.pyramid_levels, self.config.huber_sigma)
+
+        # single batched readback of the scalar summaries
+        rmse, num_valid, flow, flow_nr = jax.device_get(
+            (out.rmse, out.num_valid, out.flow, out.flow_no_rot))
+        rmse = float(rmse)
+        reliable = (rmse < ENERGY_RATIO_THRESHOLD * self.rmse_last[0]
+                    and int(num_valid) > 0)
+        if reliable:
+            self.rmse_last[0] = rmse
+        else:
+            self.rmse_last[0] *= ENERGY_RATIO_THRESHOLD
+        self.last_affine = out.affine
+        self.immature = out.immature
+        t_w_t = SE3(out.pose_q, out.pose_t)
+        t_t_kf = SE3(out.t_t_kf_q, out.t_t_kf_t)
+        return (t_w_t, t_t_kf, rmse, reliable, float(flow), float(flow_nr),
+                out.maps)
 
     def _estimate_depths(self, target_map, t_w_t: SE3):
         if self.immature is None:
