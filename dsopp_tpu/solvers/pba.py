@@ -500,59 +500,110 @@ def _relinearize_all(window: Window, eps, idepth) -> Window:
     )
 
 
-def solve_window(window: Window, model, opts: PBAOptions = PBAOptions()):
-    """Full backend solve (EigenPBA::solve): FEJ → LM loop → relinearize →
-    outlier rejection.  Host drives the loop; each step is one jitted program.
+@partial(jax.jit, static_argnames=("opts",))
+def _solve_loop_device(window: Window, model, opts: PBAOptions):
+    """The whole LM solve as one device program (zero host round-trips).
+
+    Mirrors the host loop semantics: force-accept for the first
+    ``min_iterations``, candidate-status commit on accept, tolerance-based
+    convergence, and (while the ledger is empty) relinearization of every
+    frame after each accepted step.  The FEJ cache is recomputed from the
+    carried linearization state each iteration — identical values when the
+    linearization is frozen, fresh Jacobians when it is not.
     """
     lm_mask = active_lm_mask(window)
-    fej = _fej_jit(window, model, opts)
-    # bootstrap (no prior yet): refresh Jacobians after every accepted step
-    ledger_empty = float(jnp.max(jnp.abs(window.h_marg))) == 0.0
+    ledger_empty = jnp.max(jnp.abs(window.h_marg)) == 0.0
+    dtype = window.eps.dtype
 
-    eps = window.eps
-    idepth = window.lm_idepth
-    status = window.res_status
+    def with_state(tq, tt, ab0, idep_lin, status):
+        return dataclasses.replace(
+            window, t_lin_q=tq, t_lin_t=tt, affine0=ab0,
+            lm_idepth=idep_lin, res_status=status)
 
-    energy, n_valid, _cand = _energy_jit(window, model, eps, idepth, lm_mask, opts)
-    energy = float(energy)
-    lam = opts.initial_regularizer
+    e0, n0, _ = _energy(window, model, window.eps, window.lm_idepth,
+                        lm_mask, opts)
 
-    converged = False
-    for it in range(opts.max_iterations):
-        if converged or int(n_valid) == 0:
-            break
+    # carry: linearization state + increments + loop bookkeeping
+    carry0 = (
+        window.t_lin_q, window.t_lin_t, window.affine0,   # linearization
+        window.eps, window.lm_idepth, window.lm_idepth,   # eps, idepth, lin_idepth
+        window.res_status, e0, n0,
+        jnp.asarray(opts.initial_regularizer, dtype),
+        jnp.asarray(0, jnp.int32), (n0 == 0),
+    )
+
+    def cond(c):
+        return (c[10] < opts.max_iterations) & ~c[11]
+
+    def body(c):
+        (tq, tt, ab0, eps, idepth, lin_idepth, status, e, n, lam, it, done) = c
+        win = with_state(tq, tt, ab0, lin_idepth, status)
+        fej = _fej_cache(win, model)
         eps_new, idepth_new, step_sq = _pba_iteration(
-            window, model, fej, eps, idepth, lm_mask, lam, opts)
-        e_new, n_new, cand = _energy_jit(window, model, eps_new, idepth_new, lm_mask, opts)
-        e_new = float(e_new)
+            win, model, fej, eps, idepth, lm_mask, lam, opts)
+        e_new, n_new, cand = _energy(
+            win, model, eps_new, idepth_new, lm_mask, opts)
 
-        ftol = abs(energy - e_new) / max(energy, 1e-30) < opts.function_tolerance
-        converged = converged or ftol
-        accept = e_new < energy or (opts.force_accept and it < opts.min_iterations)
-        if accept and int(n_new) > 0 and np.isfinite(e_new):
-            eps, idepth = eps_new, idepth_new
-            status = cand  # commit candidate statuses
-            window = dataclasses.replace(window, res_status=status)
-            state_sq = float(jnp.sum(eps * eps))
-            if float(step_sq) < opts.parameter_tolerance * (state_sq + opts.parameter_tolerance):
-                converged = True
-            energy, n_valid = e_new, n_new
-            lam /= opts.reg_decrease
-            if ledger_empty and not converged:
-                window = _relinearize_all(window, eps, idepth)
-                eps = window.eps
-                idepth = window.lm_idepth
-                fej = _fej_jit(window, model, opts)
-        else:
-            if opts.force_accept:
-                break
-            lam *= opts.reg_increase
+        ftol = jnp.abs(e - e_new) / jnp.maximum(e, 1e-30) < opts.function_tolerance
+        ok = (n_new > 0) & jnp.isfinite(e_new)
+        accept = ((e_new < e) | (opts.force_accept & (it < opts.min_iterations))) & ok
+        state_sq = jnp.sum(eps_new * eps_new)
+        ptol = step_sq < opts.parameter_tolerance * (state_sq + opts.parameter_tolerance)
+        done_new = done | ftol | (accept & ptol)
+        if opts.force_accept:
+            done_new = done_new | ~accept
 
-    window = dataclasses.replace(
-        window, eps=eps, lm_idepth=idepth, res_status=status)
-    window = _relinearize_last(window)
-    window = _update_point_statuses(window, model, opts)
-    return window, {"energy": energy, "num_valid": int(n_valid)}
+        eps = jnp.where(accept, eps_new, eps)
+        idepth = jnp.where(accept, idepth_new, idepth)
+        status = jnp.where(accept, cand, status)
+        e = jnp.where(accept, e_new, e)
+        n = jnp.where(accept, n_new, n)
+        lam = jnp.where(accept, lam / opts.reg_decrease, lam * opts.reg_increase)
+
+        # bootstrap relinearization: fold eps into the linearization point
+        relin = accept & ledger_empty & ~done_new
+        t_new = SE3(tq, tt) @ SE3.exp(eps[:, :6])
+        tq = jnp.where(relin, t_new.q, tq)
+        tt = jnp.where(relin, t_new.t, tt)
+        ab0 = jnp.where(relin, ab0 + eps[:, 6:], ab0)
+        lin_idepth = jnp.where(relin, idepth, lin_idepth)
+        eps = jnp.where(relin, jnp.zeros_like(eps), eps)
+        return (tq, tt, ab0, eps, idepth, lin_idepth, status, e, n, lam,
+                it + 1, done_new)
+
+    (tq, tt, ab0, eps, idepth, _lin, status, e, n, _lam, _it, _done) = \
+        jax.lax.while_loop(cond, body, carry0)
+
+    out = dataclasses.replace(
+        window, t_lin_q=tq, t_lin_t=tt, affine0=ab0, eps=eps,
+        lm_idepth=idepth, res_status=status)
+
+    # relinearize the newest frame (photometric_bundle_adjustment.cpp:311)
+    newest = jnp.sum(out.frame_valid) - 1
+    t_last = (SE3(out.t_lin_q[newest], out.t_lin_t[newest])
+              @ SE3.exp(out.eps[newest, :6]))
+    out = dataclasses.replace(
+        out,
+        t_lin_q=out.t_lin_q.at[newest].set(t_last.q),
+        t_lin_t=out.t_lin_t.at[newest].set(t_last.t),
+        affine0=out.affine0.at[newest].add(out.eps[newest, 6:]),
+        eps=out.eps.at[newest].set(0.0),
+    )
+
+    status, baseline, inliers, outlier, opt_count = _point_status_kernel(
+        out, model, opts)
+    out = dataclasses.replace(
+        out, res_status=status, lm_baseline=baseline,
+        lm_inliers=inliers, lm_outlier=outlier, lm_opt_count=opt_count)
+    return out, e, n
+
+
+def solve_window(window: Window, model, opts: PBAOptions = PBAOptions()):
+    """Full backend solve (EigenPBA::solve): FEJ → LM loop → relinearize →
+    outlier rejection — one fused device program + one scalar readback."""
+    out, e, n = _solve_loop_device(window, model, opts)
+    energy, n_valid = jax.device_get((e, n))
+    return out, {"energy": float(energy), "num_valid": int(n_valid)}
 
 
 def _relinearize_last(window: Window) -> Window:
@@ -738,6 +789,43 @@ def marginalize(window: Window, model, opts: PBAOptions = PBAOptions()) -> Windo
 # Frame push (PhotometricBundleAdjustment::pushFrame)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _push_frame_kernel(window: Window, slot, pose_q, pose_t, affine, exposure,
+                       fixed, frame_id, uv, patch, idep, lm_count, pixel_map):
+    """Device-side frame insertion (single program)."""
+    n = window.num_landmark_slots
+    valid = jnp.arange(n) < lm_count
+    uv = jnp.where(valid[:, None], uv, 0.0)
+    patch = jnp.where(valid[:, None], patch, 0.0)
+    idep = jnp.where(valid, idep, 0.0)
+
+    status = window.res_status
+    status = status.at[slot, :, :].set(RES_OK)
+    status = status.at[:, slot, :].set(RES_OK)
+
+    return dataclasses.replace(
+        window,
+        t_lin_q=window.t_lin_q.at[slot].set(pose_q),
+        t_lin_t=window.t_lin_t.at[slot].set(pose_t),
+        affine0=window.affine0.at[slot].set(affine),
+        eps=window.eps.at[slot].set(0.0),
+        exposure=window.exposure.at[slot].set(exposure),
+        frame_valid=window.frame_valid.at[slot].set(True),
+        frame_fixed=window.frame_fixed.at[slot].set(fixed),
+        frame_id=window.frame_id.at[slot].set(frame_id),
+        lm_uv=window.lm_uv.at[slot].set(uv),
+        lm_patch=window.lm_patch.at[slot].set(patch),
+        lm_idepth=window.lm_idepth.at[slot].set(idep),
+        lm_valid=window.lm_valid.at[slot].set(valid),
+        lm_outlier=window.lm_outlier.at[slot].set(False),
+        lm_inliers=window.lm_inliers.at[slot].set(0),
+        lm_opt_count=window.lm_opt_count.at[slot].set(0),
+        lm_baseline=window.lm_baseline.at[slot].set(0.0),
+        res_status=status,
+        maps=window.maps.at[slot].set(pixel_map),
+    )
+
+
 def push_frame(
     window: Window,
     t_w_c: SE3,
@@ -762,40 +850,20 @@ def push_frame(
         raise ValueError("window full — marginalize before pushing")
     dtype = window.lm_uv.dtype
 
-    num_lm = 0 if lm_uv is None else lm_uv.shape[0]
-    uv = jnp.zeros((n, 2), dtype)
-    patch = jnp.zeros((n, PATTERN_SIZE), dtype)
-    idep = jnp.zeros((n,), dtype)
-    valid = jnp.zeros((n,), bool)
-    if num_lm:
-        num_lm = min(num_lm, n)
-        uv = uv.at[:num_lm].set(jnp.asarray(lm_uv[:num_lm], dtype))
-        patch = patch.at[:num_lm].set(jnp.asarray(lm_patch[:num_lm], dtype))
-        idep = idep.at[:num_lm].set(jnp.asarray(lm_idepth[:num_lm], dtype))
-        valid = valid.at[:num_lm].set(True)
+    num_lm = 0 if lm_uv is None else min(lm_uv.shape[0], n)
 
-    status = window.res_status
-    status = status.at[slot, :, :].set(RES_OK)
-    status = status.at[:, slot, :].set(RES_OK)
+    def pad(x, trailing):
+        x = jnp.zeros((n,) + trailing, dtype) if x is None else jnp.asarray(x, dtype)
+        if x.shape[0] < n:
+            x = jnp.concatenate([x, jnp.zeros((n - x.shape[0],) + trailing, dtype)])
+        return x[:n]
 
-    return dataclasses.replace(
-        window,
-        t_lin_q=window.t_lin_q.at[slot].set(jnp.asarray(t_w_c.q, dtype)),
-        t_lin_t=window.t_lin_t.at[slot].set(jnp.asarray(t_w_c.t, dtype)),
-        affine0=window.affine0.at[slot].set(jnp.asarray(affine, dtype)),
-        eps=window.eps.at[slot].set(0.0),
-        exposure=window.exposure.at[slot].set(exposure),
-        frame_valid=window.frame_valid.at[slot].set(True),
-        frame_fixed=window.frame_fixed.at[slot].set(fixed),
-        frame_id=window.frame_id.at[slot].set(frame_id),
-        lm_uv=window.lm_uv.at[slot].set(uv),
-        lm_patch=window.lm_patch.at[slot].set(patch),
-        lm_idepth=window.lm_idepth.at[slot].set(idep),
-        lm_valid=window.lm_valid.at[slot].set(valid),
-        lm_outlier=window.lm_outlier.at[slot].set(False),
-        lm_inliers=window.lm_inliers.at[slot].set(0),
-        lm_opt_count=window.lm_opt_count.at[slot].set(0),
-        lm_baseline=window.lm_baseline.at[slot].set(0.0),
-        res_status=status,
-        maps=window.maps.at[slot].set(jnp.asarray(pixel_map, dtype)),
-    )
+    out = _push_frame_kernel(
+        window, jnp.asarray(slot, jnp.int32),
+        jnp.asarray(t_w_c.q, dtype), jnp.asarray(t_w_c.t, dtype),
+        jnp.asarray(affine, dtype), jnp.asarray(exposure, dtype),
+        jnp.asarray(fixed), jnp.asarray(frame_id, jnp.int32),
+        pad(lm_uv, (2,)), pad(lm_patch, (PATTERN_SIZE,)), pad(lm_idepth, ()),
+        jnp.asarray(num_lm, jnp.int32), jnp.asarray(pixel_map, dtype))
+    object.__setattr__(out, "_frame_count_cache", slot + 1)
+    return out

@@ -107,66 +107,75 @@ def _activation_kernel(window: Window, model, imm: ImmaturePoints,
     return activate, delete, n_active
 
 
+@jax.jit
+def _activation_scatter(window: Window, imm: ImmaturePoints, activate, delete):
+    """Move accepted immature points into free landmark slots (on device).
+
+    Per slot: rank free landmark slots and accepted candidates in index
+    order, pair rank-for-rank, scatter with out-of-range drop for the
+    unmatched tail — the branch-free equivalent of the host compaction loop.
+    """
+    n = window.num_landmark_slots
+    m = imm.uv.shape[1]
+    r = min(n, m)
+
+    def per_slot(lm_uv, lm_patch, lm_idepth, lm_valid, status_a,
+                 i_uv, i_patch, i_idepth, i_valid, act, dele):
+        free_order = jnp.argsort(
+            jnp.where(~lm_valid, jnp.arange(n), n + jnp.arange(n)))
+        act_order = jnp.argsort(jnp.where(act, jnp.arange(m), m + jnp.arange(m)))
+        take = jnp.minimum(jnp.sum(~lm_valid), jnp.sum(act))
+        rank = jnp.arange(r)
+        mask = rank < take
+        dst = jnp.where(mask, free_order[:r], n)   # n → dropped
+        src = act_order[:r]
+
+        lm_uv = lm_uv.at[dst].set(i_uv[src], mode="drop")
+        lm_patch = lm_patch.at[dst].set(i_patch[src], mode="drop")
+        lm_idepth = lm_idepth.at[dst].set(i_idepth[src], mode="drop")
+        lm_valid = lm_valid.at[dst].set(True, mode="drop")
+        status_a = status_a.at[:, dst].set(RES_OK, mode="drop")
+
+        taken = jnp.zeros(m, bool).at[src].set(mask, mode="drop")
+        i_valid = i_valid & ~taken & ~dele
+        return lm_uv, lm_patch, lm_idepth, lm_valid, status_a, i_valid, take
+
+    (lm_uv, lm_patch, lm_idepth, lm_valid, status, imm_valid, takes) = jax.vmap(
+        per_slot
+    )(window.lm_uv, window.lm_patch, window.lm_idepth, window.lm_valid,
+      window.res_status, imm.uv, imm.patch, imm.idepth, imm.valid,
+      activate, delete)
+
+    import dataclasses as dc
+
+    window = dc.replace(
+        window, lm_uv=lm_uv, lm_patch=lm_patch, lm_idepth=lm_idepth,
+        lm_valid=lm_valid, res_status=status)
+    return window, imm._replace(valid=imm_valid), jnp.sum(takes)
+
+
 @dataclass
 class LandmarksActivator:
     desired_points: int = 2000
     min_distance_to_neighbor: float = 3.0
 
     def activate(self, window: Window, model, imm: ImmaturePoints):
-        """Run activation; returns (window', imm', stats).
-
-        Host moves accepted immature points into their anchor frame's
-        active bank and updates the density controller.
-        """
+        """Run activation; returns (window', imm', stats) — two device
+        programs plus one scalar readback."""
         activate, delete, n_active = _activation_kernel(
             window, model, imm, self.min_distance_to_neighbor)
-        activate = np.asarray(activate)
-        delete = np.asarray(delete)
-        n_active = int(n_active)
+        window, imm, n_activated = _activation_scatter(
+            window, imm, activate, delete)
+        n_active, n_activated = jax.device_get((n_active, n_activated))
 
         # P-controller toward the desired density
         self.min_distance_to_neighbor = float(np.clip(
             self.min_distance_to_neighbor
-            + (n_active - self.desired_points) * P_GAIN,
+            + (int(n_active) - self.desired_points) * P_GAIN,
             MIN_DISTANCE, MAX_DISTANCE))
 
-        # np.array (copy): asarray views of device arrays are read-only
-        lm_uv = np.array(window.lm_uv)
-        lm_patch = np.array(window.lm_patch)
-        lm_idepth = np.array(window.lm_idepth)
-        lm_valid = np.array(window.lm_valid)
-        status = np.array(window.res_status)
-        imm_valid = np.array(imm.valid)
-
-        n_activated = 0
-        for slot in range(window.frame_count()):
-            idx = np.where(activate[slot])[0]
-            if idx.size:
-                free = np.where(~lm_valid[slot])[0]
-                take = min(free.size, idx.size)
-                dst, src = free[:take], idx[:take]
-                lm_uv[slot, dst] = np.asarray(imm.uv[slot])[src]
-                lm_patch[slot, dst] = np.asarray(imm.patch[slot])[src]
-                lm_idepth[slot, dst] = np.asarray(imm.idepth[slot])[src]
-                lm_valid[slot, dst] = True
-                status[slot, :, dst] = RES_OK
-                imm_valid[slot, src] = False
-                n_activated += take
-            imm_valid[slot, delete[slot]] = False
-
-        import dataclasses as dc
-
-        window = dc.replace(
-            window,
-            lm_uv=jnp.asarray(lm_uv),
-            lm_patch=jnp.asarray(lm_patch),
-            lm_idepth=jnp.asarray(lm_idepth),
-            lm_valid=jnp.asarray(lm_valid),
-            res_status=jnp.asarray(status),
-        )
-        imm = imm._replace(valid=jnp.asarray(imm_valid))
         return window, imm, {
-            "activated": n_activated,
-            "active": n_active,
+            "activated": int(n_activated),
+            "active": int(n_active),
             "min_distance": self.min_distance_to_neighbor,
         }
