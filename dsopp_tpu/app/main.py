@@ -24,6 +24,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="dsopp_tpu direct odometry")
     parser.add_argument("--config_file_path", required=True)
     parser.add_argument("--output_file_path", default="track.npz")
+    parser.add_argument("--track_bin_path", default=None,
+                        help="optional reference-format track.bin output")
     parser.add_argument("--trajectory_file_path", default=None,
                         help="optional TUM trajectory output")
     parser.add_argument("--max_frames", type=int, default=None)
@@ -84,6 +86,14 @@ def main(argv=None):
     save_track(args.output_file_path, app.tracker.track, app.tracker.window,
                camera_info)
     print(f"track written to {args.output_file_path}")
+
+    if args.track_bin_path:
+        from dsopp_tpu.output.protobuf_track import save_track_bin
+
+        save_track_bin(args.track_bin_path, app.tracker.track,
+                       app.tracker.window, camera=model,
+                       model=app.camera.settings.calibration)
+        print(f"reference-format track written to {args.track_bin_path}")
 
     if args.trajectory_file_path:
         entries = app.tracker.track.trajectory(app.tracker.window)
