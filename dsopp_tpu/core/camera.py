@@ -243,4 +243,91 @@ class SimpleRadial(NamedTuple):
         return self.unproject(uv), _inside_roi(uv, self.image_size, border)
 
 
-CAMERA_MODELS = {"pinhole": Pinhole, "simple_radial": SimpleRadial}
+class TumFov(NamedTuple):
+    """FOV fisheye model (Devernay–Faugeras), used by TUM-mono.
+
+    Mirrors reference tum_fov_model.hpp:72-106:
+      r_d = atan2(2 r_u tan(ω/2), z) / ω,  uv = f · (r_d/r_u) · xy + c.
+    """
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    fov: jnp.ndarray
+    image_size: jnp.ndarray
+
+    @staticmethod
+    def create(image_size, focal, principal, fov, dtype=jnp.float32) -> "TumFov":
+        fx, fy = focal
+        cx, cy = principal
+        return TumFov(
+            jnp.asarray(fx, dtype), jnp.asarray(fy, dtype),
+            jnp.asarray(cx, dtype), jnp.asarray(cy, dtype),
+            jnp.asarray(fov, dtype), jnp.asarray(image_size, dtype),
+        )
+
+    def scaled(self, scale) -> "TumFov":
+        s = jnp.asarray(scale, self.fx.dtype)
+        return TumFov(self.fx / s, self.fy / s, self.cx / s, self.cy / s,
+                      self.fov, self.image_size / s)
+
+    def _project_core(self, p3d):
+        x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+        r_u = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-30))
+        tan_half = jnp.tan(self.fov / 2.0)
+        r_d = jnp.arctan2(2.0 * r_u * tan_half, z) / self.fov
+        k = r_d / r_u
+        uv = jnp.stack([self.fx * k * x + self.cx, self.fy * k * y + self.cy], -1)
+        # at the optical axis the limit is the principal point
+        centered = r_u < 1e-8
+        uv = jnp.where(
+            centered[..., None],
+            jnp.stack([jnp.broadcast_to(self.cx, x.shape),
+                       jnp.broadcast_to(self.cy, x.shape)], -1), uv)
+        return uv
+
+    def project(self, p3d, border=BORDER_SIZE):
+        uv = self._project_core(p3d)
+        valid = (p3d[..., 2] >= MIN_DEPTH) & _inside_roi(uv, self.image_size, border)
+        return uv, valid
+
+    def project_jacobian(self, p3d, border=BORDER_SIZE):
+        """d(uv)/d(p3d) via forward-mode autodiff of the closed form (the
+        reference uses ceres::Jet for the same purpose)."""
+        import jax
+
+        uv = self._project_core(p3d)
+        basis = jnp.eye(3, dtype=p3d.dtype)
+        cols = [
+            jax.jvp(self._project_core, (p3d,),
+                    (jnp.broadcast_to(basis[i], p3d.shape),))[1]
+            for i in range(3)
+        ]
+        j = jnp.stack(cols, axis=-1)
+        valid = (p3d[..., 2] >= MIN_DEPTH) & _inside_roi(uv, self.image_size, border)
+        return uv, j, valid
+
+    def unproject(self, uv):
+        """tum_fov_model.hpp:93-106."""
+        mx = (uv[..., 0] - self.cx) / self.fx
+        my = (uv[..., 1] - self.cy) / self.fy
+        r_d = jnp.sqrt(jnp.maximum(mx * mx + my * my, 1e-30))
+        tan_half = jnp.tan(self.fov / 2.0)
+        z = 1.0 / jnp.tan(r_d * self.fov)
+        s = 1.0 / (2.0 * r_d * tan_half)
+        ray = jnp.stack([mx * s, my * s, z], -1)
+        centered = r_d < 1e-8
+        axis = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], uv.dtype), ray.shape)
+        ray = jnp.where(centered[..., None], axis, ray)
+        # normalize to z = 1 convention used throughout the framework
+        zs = ray[..., 2:3]
+        return ray / jnp.where(jnp.abs(zs) < 1e-9, 1e-9, zs)
+
+    def unproject_valid(self, uv, border=BORDER_SIZE):
+        return self.unproject(uv), _inside_roi(uv, self.image_size, border)
+
+
+CAMERA_MODELS = {"pinhole": Pinhole, "simple_radial": SimpleRadial,
+                 "tum_fov": TumFov}

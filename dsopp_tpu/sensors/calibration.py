@@ -19,7 +19,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from dsopp_tpu.core.camera import Pinhole, SimpleRadial
+from dsopp_tpu.core.camera import Pinhole, SimpleRadial, TumFov
 
 
 @dataclass
@@ -37,6 +37,9 @@ class CameraCalibration:
         elif self.model_type == "simple_radial":
             f, cx, cy, k1, k2 = self.intrinsics
             model = SimpleRadial.create(self.image_size, f, (cx, cy), k1, k2, dtype)
+        elif self.model_type == "tum_fov":
+            fx, fy, cx, cy, fov = self.intrinsics
+            model = TumFov.create(self.image_size, (fx, fy), (cx, cy), fov, dtype)
         else:
             raise ValueError(f"unknown model type {self.model_type!r}")
         return model.scaled(scale) if level else model

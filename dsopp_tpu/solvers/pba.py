@@ -679,6 +679,42 @@ def _marg_system_kernel(window: Window, model, opts: PBAOptions):
     return h_pts, b_pts, e_land
 
 
+@partial(jax.jit, static_argnames=("opts",))
+def _prior_system_marg_jit(window: Window, eps, opts: PBAOptions):
+    return _prior_system(window, eps, opts, marg_pass=True)
+
+
+@jax.jit
+def _permute_window(window: Window, perm, drop_marg):
+    """Compact frame slots by ``perm`` (kept frames first) in one program.
+    ``drop_marg``: flagged-frame mask in the OLD slot order."""
+    keep = ~drop_marg[perm]
+    return dataclasses.replace(
+        window,
+        t_lin_q=window.t_lin_q[perm],
+        t_lin_t=window.t_lin_t[perm],
+        affine0=window.affine0[perm],
+        eps=window.eps[perm],
+        exposure=window.exposure[perm],
+        frame_valid=window.frame_valid[perm] & keep,
+        frame_fixed=window.frame_fixed[perm] & keep,
+        frame_marg=jnp.zeros_like(window.frame_marg),
+        frame_id=jnp.where(window.frame_valid[perm] & keep,
+                           window.frame_id[perm], -1),
+        lm_uv=window.lm_uv[perm],
+        lm_patch=window.lm_patch[perm],
+        lm_idepth=window.lm_idepth[perm],
+        lm_valid=window.lm_valid[perm] & keep[:, None],
+        lm_marg_flag=jnp.zeros_like(window.lm_marg_flag),
+        lm_outlier=window.lm_outlier[perm],
+        lm_inliers=window.lm_inliers[perm],
+        lm_opt_count=window.lm_opt_count[perm],
+        lm_baseline=window.lm_baseline[perm],
+        res_status=window.res_status[perm][:, perm],
+        maps=window.maps[perm],
+    )
+
+
 def marginalize(window: Window, model, opts: PBAOptions = PBAOptions()) -> Window:
     """Fold flagged landmarks & frames into the prior ledger, then compact.
 
@@ -719,8 +755,7 @@ def marginalize(window: Window, model, opts: PBAOptions = PBAOptions()) -> Windo
 
     if any_frame:
         # frame priors folded before elimination (reference :185-196)
-        h_pr, b_pr = jax.jit(_prior_system, static_argnames=("opts", "marg_pass"))(
-            window, window.eps, opts, marg_pass=True)
+        h_pr, b_pr = _prior_system_marg_jit(window, window.eps, opts)
         h_pr = np.asarray(h_pr, np.float64)
         b_pr = np.asarray(b_pr, np.float64)
         b_pr = b_pr - h_pr @ s
@@ -750,32 +785,8 @@ def marginalize(window: Window, model, opts: PBAOptions = PBAOptions()) -> Windo
         b_new[: n_keep * BLOCK] = b_k
         h_m, b_m = h_new, b_new
 
-        permj = jnp.asarray(perm)
-        window = dataclasses.replace(
-            window,
-            t_lin_q=window.t_lin_q[permj],
-            t_lin_t=window.t_lin_t[permj],
-            affine0=window.affine0[permj],
-            eps=window.eps[permj],
-            exposure=window.exposure[permj],
-            frame_valid=window.frame_valid[permj] & ~window.frame_marg[permj],
-            frame_fixed=window.frame_fixed[permj] & ~window.frame_marg[permj],
-            frame_marg=jnp.zeros_like(window.frame_marg),
-            frame_id=jnp.where(
-                window.frame_valid[permj] & ~window.frame_marg[permj],
-                window.frame_id[permj], -1),
-            lm_uv=window.lm_uv[permj],
-            lm_patch=window.lm_patch[permj],
-            lm_idepth=window.lm_idepth[permj],
-            lm_valid=window.lm_valid[permj] & ~window.frame_marg[permj][:, None],
-            lm_marg_flag=jnp.zeros_like(window.lm_marg_flag),
-            lm_outlier=window.lm_outlier[permj],
-            lm_inliers=window.lm_inliers[permj],
-            lm_opt_count=window.lm_opt_count[permj],
-            lm_baseline=window.lm_baseline[permj],
-            res_status=window.res_status[permj][:, permj],
-            maps=window.maps[permj],
-        )
+        window = _permute_window(
+            window, jnp.asarray(perm), jnp.asarray(frame_marg))
 
     return dataclasses.replace(
         window,

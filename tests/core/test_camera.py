@@ -96,3 +96,29 @@ def test_batched_intrinsics():
     uv, _ = cam.project(p)
     assert uv.shape == (2, 2)
     assert not np.allclose(uv[0], uv[1])
+
+
+def test_tum_fov_roundtrip_and_jacobian():
+    from dsopp_tpu.core.camera import TumFov
+
+    cam = TumFov.create(SIZE, (600.0, 600.0), (640.0, 360.0), 0.9, jnp.float64)
+    uv, depth = _points_in_view(jax.random.PRNGKey(9))
+    rays = cam.unproject(uv)
+    np.testing.assert_allclose(rays[:, 2], 1.0, atol=1e-12)  # z = 1 convention
+    uv2, valid = cam.project(rays * depth[:, None])
+    np.testing.assert_allclose(uv2, uv, atol=1e-7)
+
+    p3d = (cam.unproject(uv) * depth[:, None])[:16]
+    _, j, _ = cam.project_jacobian(p3d)
+    j_ad = jax.vmap(jax.jacobian(lambda p: cam.project(p)[0]))(p3d)
+    np.testing.assert_allclose(j, j_ad, atol=1e-8)
+
+
+def test_tum_fov_optical_axis_safe():
+    from dsopp_tpu.core.camera import TumFov
+
+    cam = TumFov.create(SIZE, (600.0, 600.0), (640.0, 360.0), 0.9, jnp.float64)
+    uv, _ = cam.project(jnp.array([0.0, 0.0, 3.0]))
+    np.testing.assert_allclose(uv, [640.0, 360.0], atol=1e-9)
+    ray = cam.unproject(jnp.array([640.0, 360.0]))
+    np.testing.assert_allclose(ray, [0.0, 0.0, 1.0], atol=1e-9)
