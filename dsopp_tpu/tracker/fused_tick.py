@@ -36,6 +36,7 @@ class FusedTickResult(NamedTuple):
     immature: object           # updated banks
     t_t_kf_q: jnp.ndarray
     t_t_kf_t: jnp.ndarray
+    t_kf_frame_mat: jnp.ndarray  # 4x4 keyframe→frame (attach bookkeeping)
 
 
 @partial(jax.jit, static_argnames=("align_opts", "with_perturbations",
@@ -113,4 +114,5 @@ def fused_regular_tick(
         maps=maps, pose_q=t_w_t.q, pose_t=t_w_t.t, affine=best_affine,
         rmse=rmse, num_valid=num_valid, flow=flow, flow_no_rot=flow_nr,
         immature=immature, t_t_kf_q=t_t_kf.q, t_t_kf_t=t_t_kf.t,
+        t_kf_frame_mat=t_t_kf.inverse().matrix(),
     )

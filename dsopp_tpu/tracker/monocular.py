@@ -180,9 +180,14 @@ class MonocularTracker:
         return self.num_keyframes >= 2
 
     def _kf_pose(self) -> SE3:
-        pos = self.window.frame_count() - 1
-        poses = self.window.poses()
-        return SE3(poses.q[pos], poses.t[pos])
+        # cached: only changes when a keyframe is pushed/solved
+        cached = getattr(self, "_kf_pose_cache", None)
+        if cached is None:
+            pos = self.window.frame_count() - 1
+            poses = self.window.poses()
+            cached = SE3(poses.q[pos], poses.t[pos])
+            self._kf_pose_cache = cached
+        return cached
 
     def _kf_id(self) -> int:
         pos = self.window.frame_count() - 1
@@ -225,11 +230,11 @@ class MonocularTracker:
         self.t_w_last = t_w_t
 
         if not need_kf:
-            t_kf_t = t_t_kf.inverse() if known_pose is None else (
-                t_w_kf.inverse() @ t_w_t)
+            t_kf_t_mat = (self._last_kf_frame_mat if known_pose is None else
+                          np.asarray((t_w_kf.inverse() @ t_w_t).matrix(),
+                                     np.float64))
             self.track.attach_frame(AttachedFrame(
-                frame_id, timestamp, self._kf_id(),
-                np.asarray(t_kf_t.matrix(), np.float64),
+                frame_id, timestamp, self._kf_id(), t_kf_t_mat,
                 flow=flow, flow_without_rotation=flow_no_rot, rmse=rmse0))
             return {"keyframe": False, "pose": t_w_t, "rmse": rmse0}
 
@@ -290,6 +295,7 @@ class MonocularTracker:
             self.rmse_last[0] *= ENERGY_RATIO_THRESHOLD
         self.last_affine = out.affine
         self.immature = out.immature
+        self._last_kf_frame_mat = np.asarray(out.t_kf_frame_mat, np.float64)
         t_w_t = SE3(out.pose_q, out.pose_t)
         t_t_kf = SE3(out.t_t_kf_q, out.t_t_kf_t)
         return (t_w_t, t_t_kf, rmse, reliable, float(flow), float(flow_nr),
@@ -346,6 +352,7 @@ class MonocularTracker:
         self.immature = jax.tree_util.tree_map(
             lambda bank, new: bank.at[slot].set(new), self.immature, new_bank)
 
+        self._kf_pose_cache = None
         stats = {}
         if not first:
             self.window, self.immature, act_stats = self.activator.activate(
@@ -373,6 +380,7 @@ class MonocularTracker:
                 self.window = pba_marginalize(self.window, self.camera, self.pba_opts)
                 self._permute_immature(ids_before, frame_flags)
 
+        self._kf_pose_cache = None
         # rebuild frontend reference depth maps + per-level points
         h, w = self.image_shape
         idep, wei = build_depth_maps(
