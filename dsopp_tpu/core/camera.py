@@ -329,5 +329,168 @@ class TumFov(NamedTuple):
         return self.unproject(uv), _inside_roi(uv, self.image_size, border)
 
 
+class Division(NamedTuple):
+    """Division fisheye model (reference fisheye/division_model.hpp:80-87).
+
+    Projection of the undistorted normalized point m with parameter λ:
+    uv = f · α(m) · m + c  with  α = (z − √(z² − 4 λ ‖xy‖²)) / (2 λ ‖xy‖²).
+    """
+
+    f: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    lam: jnp.ndarray
+    image_size: jnp.ndarray
+
+    @staticmethod
+    def create(image_size, f, principal, lam, dtype=jnp.float32) -> "Division":
+        cx, cy = principal
+        return Division(
+            jnp.asarray(f, dtype), jnp.asarray(cx, dtype),
+            jnp.asarray(cy, dtype), jnp.asarray(lam, dtype),
+            jnp.asarray(image_size, dtype))
+
+    def scaled(self, scale) -> "Division":
+        s = jnp.asarray(scale, self.f.dtype)
+        return Division(self.f / s, self.cx / s, self.cy / s, self.lam,
+                        self.image_size / s)
+
+    def _project_core(self, p3d):
+        x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+        r2 = x * x + y * y
+        lam_r2 = self.lam * r2
+        disc = jnp.maximum(z * z - 4.0 * lam_r2, 0.0)
+        denom = jnp.where(jnp.abs(lam_r2) < 1e-12, 1e-12, 2.0 * lam_r2)
+        alpha = (z - jnp.sqrt(disc)) / denom
+        # λ→0 limit: α = 1/z
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        alpha = jnp.where(jnp.abs(lam_r2) < 1e-12, 1.0 / z_safe, alpha)
+        return jnp.stack([self.f * alpha * x + self.cx,
+                          self.f * alpha * y + self.cy], -1)
+
+    def project(self, p3d, border=BORDER_SIZE):
+        uv = self._project_core(p3d)
+        x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+        disc_ok = z * z - 4.0 * self.lam * (x * x + y * y) >= 0
+        valid = (z >= MIN_DEPTH) & disc_ok & _inside_roi(uv, self.image_size, border)
+        return uv, valid
+
+    def project_jacobian(self, p3d, border=BORDER_SIZE):
+        import jax
+
+        uv, valid = self.project(p3d, border)
+        basis = jnp.eye(3, dtype=p3d.dtype)
+        cols = [
+            jax.jvp(self._project_core, (p3d,),
+                    (jnp.broadcast_to(basis[i], p3d.shape),))[1]
+            for i in range(3)
+        ]
+        return uv, jnp.stack(cols, axis=-1), valid
+
+    def unproject(self, uv):
+        """Inverse (division_model.hpp): ray = [m, 1 + λ‖m‖²], z-normalized."""
+        mx = (uv[..., 0] - self.cx) / self.f
+        my = (uv[..., 1] - self.cy) / self.f
+        z = 1.0 + self.lam * (mx * mx + my * my)
+        z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        return jnp.stack([mx / z_safe, my / z_safe, jnp.ones_like(mx)], -1)
+
+    def unproject_valid(self, uv, border=BORDER_SIZE):
+        return self.unproject(uv), _inside_roi(uv, self.image_size, border)
+
+
+class Atan(NamedTuple):
+    """Theta-polynomial fisheye (reference fisheye/atan_camera.hpp:98-128,
+    the Kannala–Brandt form also used by the IOS model):
+
+        r_d = θ · (1 + Σᵢ kᵢ θ^(i+1)),   θ = atan2(‖xy‖, z)
+
+    ``poly`` is the static coefficient tuple (k₁ … k_m).  Unprojection
+    inverts the polynomial with fixed-iteration Newton (jittable).
+    """
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    poly: tuple       # static python floats
+    image_size: jnp.ndarray
+
+    @staticmethod
+    def create(image_size, focal, principal, poly, dtype=jnp.float32) -> "Atan":
+        fx, fy = focal
+        cx, cy = principal
+        return Atan(
+            jnp.asarray(fx, dtype), jnp.asarray(fy, dtype),
+            jnp.asarray(cx, dtype), jnp.asarray(cy, dtype),
+            tuple(float(p) for p in poly), jnp.asarray(image_size, dtype))
+
+    def scaled(self, scale) -> "Atan":
+        s = jnp.asarray(scale, self.fx.dtype)
+        return Atan(self.fx / s, self.fy / s, self.cx / s, self.cy / s,
+                    self.poly, self.image_size / s)
+
+    def _distort(self, theta):
+        acc = jnp.zeros_like(theta)
+        for k in reversed(self.poly):
+            acc = acc * theta + k
+        return theta * (1.0 + acc * theta)
+
+    def _distort_deriv(self, theta):
+        # d(r_d)/dθ of θ(1 + Σ kᵢ θ^{i+1}) = 1 + Σ kᵢ (i+2) θ^{i+1}
+        acc = jnp.zeros_like(theta)
+        for i in reversed(range(len(self.poly))):
+            acc = acc * theta + self.poly[i] * (i + 2)
+        return 1.0 + acc * theta
+
+    def _project_core(self, p3d):
+        n = jnp.sqrt(jnp.maximum(jnp.sum(p3d * p3d, axis=-1), 1e-30))
+        ray = p3d / n[..., None]
+        x, y, z = ray[..., 0], ray[..., 1], ray[..., 2]
+        radius = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-30))
+        theta = jnp.arctan2(radius, z)
+        r_d = self._distort(theta)
+        k = r_d / radius
+        uv = jnp.stack([self.fx * k * x + self.cx, self.fy * k * y + self.cy], -1)
+        centered = radius < 1e-6
+        pp = jnp.stack([jnp.broadcast_to(self.cx, x.shape),
+                        jnp.broadcast_to(self.cy, x.shape)], -1)
+        return jnp.where(centered[..., None], pp, uv)
+
+    def project(self, p3d, border=BORDER_SIZE):
+        uv = self._project_core(p3d)
+        valid = (p3d[..., 2] >= MIN_DEPTH) & _inside_roi(uv, self.image_size, border)
+        return uv, valid
+
+    def project_jacobian(self, p3d, border=BORDER_SIZE):
+        import jax
+
+        uv, valid = self.project(p3d, border)
+        basis = jnp.eye(3, dtype=p3d.dtype)
+        cols = [
+            jax.jvp(self._project_core, (p3d,),
+                    (jnp.broadcast_to(basis[i], p3d.shape),))[1]
+            for i in range(3)
+        ]
+        return uv, jnp.stack(cols, axis=-1), valid
+
+    def unproject(self, uv, newton_iters: int = 12):
+        mx = (uv[..., 0] - self.cx) / self.fx
+        my = (uv[..., 1] - self.cy) / self.fy
+        r_d = jnp.sqrt(jnp.maximum(mx * mx + my * my, 1e-30))
+        theta = r_d
+        for _ in range(newton_iters):
+            fval = self._distort(theta) - r_d
+            fprime = self._distort_deriv(theta)
+            fprime = jnp.where(jnp.abs(fprime) < 1e-8, 1e-8, fprime)
+            theta = jnp.clip(theta - fval / fprime, 0.0, jnp.pi)
+        tan_t = jnp.tan(jnp.clip(theta, 0.0, jnp.pi / 2 - 1e-6))
+        s = tan_t / r_d
+        return jnp.stack([mx * s, my * s, jnp.ones_like(mx)], -1)
+
+    def unproject_valid(self, uv, border=BORDER_SIZE):
+        return self.unproject(uv), _inside_roi(uv, self.image_size, border)
+
+
 CAMERA_MODELS = {"pinhole": Pinhole, "simple_radial": SimpleRadial,
-                 "tum_fov": TumFov}
+                 "tum_fov": TumFov, "division": Division, "atan": Atan}

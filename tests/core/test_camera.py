@@ -122,3 +122,39 @@ def test_tum_fov_optical_axis_safe():
     np.testing.assert_allclose(uv, [640.0, 360.0], atol=1e-9)
     ray = cam.unproject(jnp.array([640.0, 360.0]))
     np.testing.assert_allclose(ray, [0.0, 0.0, 1.0], atol=1e-9)
+
+
+def test_division_roundtrip_and_jacobian():
+    from dsopp_tpu.core.camera import Division
+
+    cam = Division.create(SIZE, 448.0, (640.0, 360.0), -0.08, jnp.float64)
+    uv, depth = _points_in_view(jax.random.PRNGKey(10))
+    rays = cam.unproject(uv)
+    np.testing.assert_allclose(rays[:, 2], 1.0, atol=1e-12)
+    uv2, valid = cam.project(rays * depth[:, None])
+    m = np.asarray(valid)
+    np.testing.assert_allclose(uv2[m], uv[m], atol=1e-6)
+    assert m.mean() > 0.9
+
+    p3d = (rays * depth[:, None])[:12]
+    _, j, _ = cam.project_jacobian(p3d)
+    j_ad = jax.vmap(jax.jacobian(lambda p: cam.project(p)[0]))(p3d)
+    np.testing.assert_allclose(j, j_ad, atol=1e-7)
+
+
+def test_atan_polynomial_roundtrip():
+    from dsopp_tpu.core.camera import Atan
+
+    cam = Atan.create(SIZE, (450.0, 452.0), (640.0, 360.0),
+                      (-0.01, 0.004, -0.001), jnp.float64)
+    uv, depth = _points_in_view(jax.random.PRNGKey(11))
+    rays = cam.unproject(uv)
+    uv2, valid = cam.project(rays * depth[:, None])
+    m = np.asarray(valid)
+    assert m.mean() > 0.9
+    np.testing.assert_allclose(uv2[m], uv[m], atol=1e-6)
+
+    p3d = (rays * depth[:, None])[:12]
+    _, j, _ = cam.project_jacobian(p3d)
+    j_ad = jax.vmap(jax.jacobian(lambda p: cam.project(p)[0]))(p3d)
+    np.testing.assert_allclose(j, j_ad, atol=1e-7)
