@@ -196,7 +196,11 @@ def save_track_bin(path, track, window=None, camera=None, model=None,
     CameraCalibration for AgentSettings.
     """
     keyframes = []
-    connections = []
+    connections = [
+        _connection(ref, sensor_id, tgt, sensor_id,
+                    np.asarray(cov, np.float64).reshape(-1))
+        for (ref, tgt), cov in getattr(track, "connections", {}).items()
+    ]
 
     def unproject(uv):
         fx = float(camera.fx)

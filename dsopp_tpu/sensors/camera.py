@@ -70,6 +70,13 @@ class CameraSettings:
         )
 
 
+def crop_size_power_of_2(width: int, height: int, levels: int = 4):
+    """Largest (w, h) ≤ input divisible by 2^levels (camera_image_crop.hpp:15-21,
+    kNumberOfPyramidLevels=4 — eases pyramid construction)."""
+    step = 1 << levels
+    return (width >> levels) * step, (height >> levels) * step
+
+
 @dataclass
 class Camera:
     """Camera sensor: pulls provider frames through the correction chain."""
@@ -78,6 +85,7 @@ class Camera:
     provider: object
     settings: CameraSettings
     resize_ratio: float = 1.0
+    crop_levels: int = 4    # ImageCropper always runs (transformers fabric.cpp:29)
 
     _vignetting_dev: object = field(default=None, repr=False)
 
@@ -113,6 +121,13 @@ class Camera:
         model = self.settings.calibration.camera_model(0, dtype)
         if self.resize_ratio != 1.0:
             model = model.scaled(1.0 / self.resize_ratio)
+        if self.crop_levels:
+            w = int(float(model.image_size[..., 0]))
+            h = int(float(model.image_size[..., 1]))
+            cw, ch = crop_size_power_of_2(w, h, self.crop_levels)
+            if (cw, ch) != (w, h):
+                model = model._replace(
+                    image_size=jnp.asarray((cw, ch), model.image_size.dtype))
         return model.scaled(float(2 ** level)) if level else model
 
     def next_frame(self) -> Optional[CameraDataFrame]:
@@ -129,6 +144,14 @@ class Camera:
             img = cv2.resize(
                 img, None, fx=self.resize_ratio, fy=self.resize_ratio,
                 interpolation=cv2.INTER_AREA)
+        # crop transformer (ImageCropper): keep top-left region divisible by
+        # 2^crop_levels; intrinsics are unchanged (calibration.crop() only
+        # shrinks the valid image size)
+        if self.crop_levels:
+            cw, ch = crop_size_power_of_2(
+                img.shape[1], img.shape[0], self.crop_levels)
+            if (cw, ch) != (img.shape[1], img.shape[0]):
+                img = img[:ch, :cw]
         vignetting = self.settings.vignetting
         if vignetting is not None and vignetting.shape != img.shape:
             import cv2

@@ -606,6 +606,56 @@ def solve_window(window: Window, model, opts: PBAOptions = PBAOptions()):
     return out, {"energy": float(energy), "num_valid": int(n_valid)}
 
 
+@partial(jax.jit, static_argnames=("opts",))
+def pose_covariances(window: Window, model, opts: PBAOptions = PBAOptions()):
+    """Pose-pose covariance of the window (the estimate_uncertainty path).
+
+    Mirrors ``covarianceMatrixPosePose``
+    (eigen_photometric_bundle_adjustment_problem.hpp:206-242): the full
+    reduced system H_pose+prior − H_schur + H_marg is pseudo-inverted via
+    SVD dropping the single scale nullspace (``pseudoInverse``,
+    eigen_photometric_bundle_adjustment.cpp:30-44), then per-pair relative
+    6×6 pose covariances via the adjoint sandwich
+    (covariance_matrices_of_relative_poses.hpp + se3_motion.hpp:151-158):
+        Σ_rel[i,j] = Adj Σ_ii Adjᵀ − Σ_ijᵀ Adjᵀ − Adj Σ_ij + Σ_jj,
+    with Adj = Adj(T_wj⁻¹ T_wi).
+
+    Returns (cov [K·8, K·8], cov_rel [K, K, 6, 6]).
+    """
+    k = window.num_slots
+    dtype = window.eps.dtype
+    lm_mask = active_lm_mask(window)
+    fej = _fej_cache(window, model)
+    sys = _linearize(window, model, fej, window.eps, window.lm_idepth,
+                     lm_mask, opts)
+    h = (sys.h_pose - sys.h_schur).astype(window.h_marg.dtype) + window.h_marg
+    # dead slots get a huge diagonal so their (zero-information) blocks read
+    # as ~0 covariance and never masquerade as the scale nullspace
+    live = jnp.repeat(window.frame_valid, BLOCK)
+    h = jnp.where(live[:, None] & live[None, :], h, 0.0)
+    h = h + jnp.diag(jnp.where(live, 0.0, jnp.asarray(1e18, h.dtype)))
+    h = 0.5 * (h + h.T)
+
+    u, s_vals, vt = jnp.linalg.svd(h, hermitian=True)
+    # drop the smallest singular value (monocular scale nullspace)
+    keep = jnp.arange(s_vals.shape[0]) < s_vals.shape[0] - 1
+    inv_s = jnp.where(keep, 1.0 / jnp.maximum(s_vals, 1e-300), 0.0)
+    cov = ((vt.T * inv_s[None, :]) @ u.T).astype(dtype)
+
+    c = cov.reshape(k, BLOCK, k, BLOCK).transpose(0, 2, 1, 3)[:, :, :6, :6]
+    sigma_d = c[jnp.arange(k), jnp.arange(k)]                    # [K, 6, 6]
+    rel = _relative_poses(window.t_lin_q, window.t_lin_t, window.eps[:, :6])
+    adj = rel.adjoint()                                          # [K, K, 6, 6]
+    adj_t = jnp.swapaxes(adj, -1, -2)
+    sig_rel = (
+        adj @ sigma_d[:, None] @ adj_t
+        - jnp.swapaxes(c, -1, -2) @ adj_t
+        - adj @ c
+        + sigma_d[None, :]
+    )
+    return cov, sig_rel
+
+
 def _relinearize_last(window: Window) -> Window:
     """Re-anchor the newest frame (photometric_bundle_adjustment.cpp:311)."""
     idx = window.frame_count() - 1
@@ -715,85 +765,106 @@ def _permute_window(window: Window, perm, drop_marg):
     )
 
 
-def marginalize(window: Window, model, opts: PBAOptions = PBAOptions()) -> Window:
+@partial(jax.jit, static_argnames=("opts", "any_lm", "any_frame"))
+def _marginalize_device(window: Window, model, perm, opts: PBAOptions,
+                        any_lm: bool, any_frame: bool) -> Window:
+    """The whole marginalization fold as ONE device program.
+
+    Frame-block Schur elimination (``reduce_system``) is done with masked
+    fixed-shape linear algebra: the eliminated sub-block is embedded in the
+    full [K·8, K·8] ledger with identity padding, pseudo-inverted in place,
+    and the correction is masked to the kept rows/columns — no dynamic
+    shapes, no host round-trips.
+    """
+    ledger_t = window.h_marg.dtype
+    h_m = window.h_marg
+    b_m = window.b_marg
+    e_m = window.energy_marg
+    s = window.eps.reshape(-1).astype(ledger_t)
+
+    # flagged landmarks' pose information at the current state
+    h_pts, b_pts, e_land = _marg_system_kernel(window, model, opts)
+    h_pts = h_pts.astype(ledger_t)
+    b_pts = b_pts.astype(ledger_t)
+    # DSO eq 8.15: energy of dropped residuals at the linearization
+    e_m = e_m + e_land.astype(ledger_t) + s @ (h_pts @ s) - s @ b_pts
+    h_m = h_m + h_pts
+    b_m = b_m + (b_pts - h_pts @ s)
+
+    window = dataclasses.replace(
+        window,
+        lm_valid=window.lm_valid & ~window.lm_marg_flag,
+        lm_marg_flag=jnp.zeros_like(window.lm_marg_flag),
+    )
+
+    if any_frame:
+        # frame priors folded before elimination (reference :185-196)
+        h_pr, b_pr = _prior_system(window, window.eps, opts, marg_pass=True)
+        h_pr = h_pr.astype(ledger_t)
+        b_pr = b_pr.astype(ledger_t)
+        h_m = h_m + h_pr
+        b_m = b_m + (b_pr - h_pr @ s)
+
+        # Schur-eliminate flagged frame blocks (reduce_system) with masks
+        kb = window.num_slots * BLOCK
+        marg = jnp.repeat(window.frame_marg & window.frame_valid, BLOCK)
+        keep = jnp.repeat(window.frame_valid & ~window.frame_marg, BLOCK)
+        eye = jnp.eye(kb, dtype=ledger_t)
+        h_ee = jnp.where(marg[:, None] & marg[None, :], h_m, eye)
+        h_ee_inv = jnp.linalg.pinv(h_ee, hermitian=True)
+        h_ke = jnp.where(keep[:, None] & marg[None, :], h_m, 0.0)
+        corr = h_ke @ h_ee_inv
+        h_kk = jnp.where(keep[:, None] & keep[None, :], h_m, 0.0) - corr @ h_ke.T
+        b_k = jnp.where(keep, b_m, 0.0) - corr @ jnp.where(marg, b_m, 0.0)
+        h_kk = 0.5 * (h_kk + h_kk.T)
+
+        # compact: permute frame blocks so kept frames occupy the low slots
+        idx = (perm[:, None] * BLOCK
+               + jnp.arange(BLOCK, dtype=perm.dtype)[None, :]).reshape(-1)
+        h_m = h_kk[idx][:, idx]
+        b_m = b_k[idx]
+
+        window = _permute_window(
+            window, perm, window.frame_marg & window.frame_valid)
+
+    return dataclasses.replace(window, h_marg=h_m, b_marg=b_m, energy_marg=e_m)
+
+
+def marginalize(window: Window, model, opts: PBAOptions = PBAOptions(),
+                frame_flags=None, lm_any=None) -> Window:
     """Fold flagged landmarks & frames into the prior ledger, then compact.
 
     Mirrors updateMarginalizedLinearSystem
     (eigen_photometric_bundle_adjustment_problem.hpp:147-203): compute the
     flagged points' pose information (H_pp − Schur), rebase b at the current
-    state, accumulate in float64, drop the points; then add the flagged
-    frames' prior system and Schur-eliminate their blocks; finally compact
-    the frame slots (deque erase → slot permutation).
+    state, accumulate in the ledger dtype, drop the points; then add the
+    flagged frames' prior system and Schur-eliminate their blocks; finally
+    compact the frame slots (deque erase → slot permutation).
+
+    ``frame_flags``/``lm_any``: host copies of the flags, when the caller
+    already has them (avoids a device→host readback on remote TPUs).
     """
     k = window.num_slots
-    any_lm = bool(np.any(np.asarray(window.lm_marg_flag & window.lm_valid)))
-    frame_marg = np.asarray(window.frame_marg & window.frame_valid)
-    any_frame = bool(frame_marg.any())
-
-    h_m = np.asarray(window.h_marg)
-    b_m = np.asarray(window.b_marg)
-    e_m = float(window.energy_marg)
-    s = np.asarray(window.eps, np.float64).reshape(-1)
-
-    if any_lm or any_frame:
-        h_pts, b_pts, e_land = _marg_system_kernel(window, model, opts)
-        h_pts = np.asarray(h_pts, np.float64)
-        b_pts = np.asarray(b_pts, np.float64)
-        # DSO eq 8.15: energy of dropped residuals at the linearization
-        e_m += float(e_land) + s @ (h_pts @ s) - s @ b_pts
-        b_pts = b_pts - h_pts @ s
-        h_m = h_m + h_pts
-        b_m = b_m + b_pts
-
-        # drop marginalized landmarks from the active set
-        lm_valid = window.lm_valid & ~window.lm_marg_flag
-        window = dataclasses.replace(
-            window,
-            lm_valid=lm_valid,
-            lm_marg_flag=jnp.zeros_like(window.lm_marg_flag),
-        )
+    if lm_any is None:
+        lm_any = bool(np.any(np.asarray(window.lm_marg_flag & window.lm_valid)))
+    if frame_flags is None:
+        frame_flags = np.asarray(window.frame_marg & window.frame_valid)
+    any_frame = bool(frame_flags.any())
+    if not (lm_any or any_frame):
+        return window
 
     if any_frame:
-        # frame priors folded before elimination (reference :185-196)
-        h_pr, b_pr = _prior_system_marg_jit(window, window.eps, opts)
-        h_pr = np.asarray(h_pr, np.float64)
-        b_pr = np.asarray(b_pr, np.float64)
-        b_pr = b_pr - h_pr @ s
-        h_m = h_m + h_pr
-        b_m = b_m + b_pr
-
-        # Schur-eliminate marginalized frame blocks (reduce_system).
-        # kept = valid frames that survive (slot order preserved); empty
-        # slots carry zero rows and are dropped from the ledger entirely.
-        kept = np.where(~frame_marg & np.asarray(window.frame_valid))[0]
-        elim = np.where(np.repeat(frame_marg, BLOCK))[0]
-        keep = np.concatenate(
-            [np.arange(f * BLOCK, (f + 1) * BLOCK) for f in kept]
-        ) if len(kept) else np.zeros(0, np.int64)
-        h_ee = h_m[np.ix_(elim, elim)]
-        h_ke = h_m[np.ix_(keep, elim)]
-        h_ee_inv = np.linalg.pinv(h_ee, hermitian=True)
-        h_kk = h_m[np.ix_(keep, keep)] - h_ke @ h_ee_inv @ h_ke.T
-        b_k = b_m[keep] - h_ke @ h_ee_inv @ b_m[elim]
+        kept = np.where(~frame_flags & np.asarray(window.frame_valid))[0]
         dead = [i for i in range(k) if i not in kept]
         perm = np.concatenate([kept, dead]).astype(np.int32)
-        n_keep = len(kept)
+    else:
+        perm = np.arange(k, dtype=np.int32)
 
-        h_new = np.zeros_like(h_m)
-        b_new = np.zeros_like(b_m)
-        h_new[: n_keep * BLOCK, : n_keep * BLOCK] = 0.5 * (h_kk + h_kk.T)
-        b_new[: n_keep * BLOCK] = b_k
-        h_m, b_m = h_new, b_new
-
-        window = _permute_window(
-            window, jnp.asarray(perm), jnp.asarray(frame_marg))
-
-    return dataclasses.replace(
-        window,
-        h_marg=jnp.asarray(h_m),
-        b_marg=jnp.asarray(b_m),
-        energy_marg=jnp.asarray(e_m),
-    )
+    out = _marginalize_device(
+        window, model, jnp.asarray(perm), opts, bool(lm_any), any_frame)
+    if any_frame:
+        object.__setattr__(out, "_frame_count_cache", int(len(kept)))
+    return out
 
 
 # ---------------------------------------------------------------------------

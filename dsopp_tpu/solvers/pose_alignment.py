@@ -123,43 +123,35 @@ def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
 @partial(jax.jit, static_argnames=("opts",))
 def align_level(pts: LevelPoints, pixel_map, model, t_init: SE3, affine_init,
                 affine_ref, exposure_ratio, opts: AlignmentOptions = AlignmentOptions()):
-    """LM solve of one pyramid level (jitted; mirrors the reference LM driver)."""
+    """LM solve of one pyramid level (jitted; mirrors the reference LM driver).
+
+    One residual pass per iteration: each trial evaluation yields energy AND
+    the GN system at the trial point; on accept the system is reused for the
+    next step, on reject the retained system is re-damped — identical accept
+    semantics to the reference LM driver at half the residual-pass cost.
+    """
     dtype = pts.uv.dtype
 
-    def energy_of(t_q, t_t, affine):
-        e, n, _ = _residual_system(
-            pts, pixel_map, model, SE3(t_q, t_t), affine, affine_ref,
-            exposure_ratio, opts, with_jacobian=False,
-        )
-        return e, n
-
-    def linearize(t_q, t_t, affine):
-        _, _, (h, b) = _residual_system(
+    def eval_full(t_q, t_t, affine):
+        e, n, (h, b) = _residual_system(
             pts, pixel_map, model, SE3(t_q, t_t), affine, affine_ref,
             exposure_ratio, opts, with_jacobian=True,
         )
-        return h, b
+        return e, n, h, b
 
-    e0, n0 = energy_of(t_init.q, t_init.t, affine_init)
-    h0 = jnp.zeros((8, 8), dtype)
-    b0 = jnp.zeros((8,), dtype)
+    e0, n0, h0, b0 = eval_full(t_init.q, t_init.t, affine_init)
 
-    # carry: q, t, affine, energy, n_valid, lm_reg, iter, done, h, b, need_relin
-    init = (t_init.q, t_init.t, affine_init, e0, n0,
+    # carry: q, t, affine, energy, n_valid, h, b, lm_reg, iter, done
+    init = (t_init.q, t_init.t, affine_init, e0, n0, h0, b0,
             jnp.asarray(opts.initial_regularizer, dtype),
-            jnp.asarray(0, jnp.int32), n0 == 0, h0, b0,
-            jnp.asarray(True))
+            jnp.asarray(0, jnp.int32), n0 == 0)
 
     def cond(carry):
-        _, _, _, _, _, _, it, done, _, _, _ = carry
+        it, done = carry[8], carry[9]
         return (it < opts.max_iterations) & ~done
 
     def body(carry):
-        q, t, affine, e, n, reg, it, done, h, b, need_relin = carry
-        h, b = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(need_relin, new, old),
-            linearize(q, t, affine), (h, b),
-        )
+        q, t, affine, e, n, h, b, reg, it, done = carry
         # damped solve: (H + reg·diag(H)) δ = −b
         diag = jnp.diagonal(h)
         h_d = h + jnp.eye(8, dtype=dtype) * (reg * diag + 1e-24)[None, :]
@@ -168,7 +160,7 @@ def align_level(pts: LevelPoints, pixel_map, model, t_init: SE3, affine_init,
 
         t_new = SE3.exp(step[:6]) @ SE3(q, t)
         affine_new = affine + step[6:]
-        e_new, n_new = energy_of(t_new.q, t_new.t, affine_new)
+        e_new, n_new, h_new, b_new = eval_full(t_new.q, t_new.t, affine_new)
 
         accept = (e_new < e) & (n_new > 0) & jnp.isfinite(e_new)
         ftol = jnp.abs(e - e_new) / jnp.maximum(e, 1e-30) < opts.function_tolerance
@@ -183,10 +175,12 @@ def align_level(pts: LevelPoints, pixel_map, model, t_init: SE3, affine_init,
         affine = jnp.where(accept, affine_new, affine)
         e = jnp.where(accept, e_new, e)
         n = jnp.where(accept, n_new, n)
+        h = jnp.where(accept, h_new, h)
+        b = jnp.where(accept, b_new, b)
         reg = jnp.where(accept, reg / opts.reg_decrease, reg * opts.reg_increase)
-        return (q, t, affine, e, n, reg, it + 1, done | converged, h, b, accept)
+        return (q, t, affine, e, n, h, b, reg, it + 1, done | converged)
 
-    q, t, affine, e, n, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    q, t, affine, e, n, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     rmse = jnp.sqrt(e / jnp.maximum(n, 1).astype(dtype))
     return AlignmentResult(SE3(q, t), affine, e, n, rmse)
 

@@ -60,6 +60,9 @@ class OdometryTrack:
     # attached frames of still-active keyframes, keyed by keyframe id
     attached: dict = field(default_factory=dict)
     keyframe_timestamps: dict = field(default_factory=dict)
+    # relative-pose covariances keyed by (reference_id, target_id) → 6×6
+    # (reference FrameConnection covariance, connection.proto field 5)
+    connections: dict = field(default_factory=dict)
 
     def attach_frame(self, frame: AttachedFrame):
         self.attached.setdefault(frame.keyframe_id, []).append(frame)

@@ -27,9 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsopp_tpu.core.interpolate import sample
 from dsopp_tpu.core.lie import SE3
-from dsopp_tpu.core.reproject import reproject
-from dsopp_tpu.solvers.pba import RES_OK, Window, active_lm_mask
+from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
+from dsopp_tpu.core.reproject import reproject, reproject_jacobian
+from dsopp_tpu.solvers.pba import RES_OK, Window, _relative_poses, active_lm_mask
 from dsopp_tpu.tracker.depth_estimation import (
     STATUS_GOOD,
     STATUS_ILL_CONDITIONED,
@@ -107,6 +109,97 @@ def _activation_kernel(window: Window, model, imm: ImmaturePoints,
     return activate, delete, n_active
 
 
+MAX_ENERGY_FOR_INLIERS = PATTERN_SIZE * 12.0 * 12.0  # landmarks_activator.cpp:124
+REFINE_ITERATIONS = 3        # optimizeImmatureLandmark options (:286-292)
+REFINE_REG0 = 0.1
+REFINE_REG_DEC = 2.0
+REFINE_REG_INC = 5.0
+
+
+@partial(jax.jit, static_argnames=("huber_sigma",))
+def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
+                          activate, huber_sigma: float):
+    """Idepth refinement of to-activate points (the REFINE template path).
+
+    Mirrors ``optimizeImmatureLandmark`` / ``LandmarkActivationProblem``
+    (landmarks_activator.cpp:123-312): per landmark, a scalar LM on idepth
+    over residuals against every other window frame — whole-patch Huber
+    weight σ/‖r‖, energy capped at ``kMaxEnergyForInliers`` for non-inlier
+    reprojections, 3 iterations with λ₀=0.1 (÷2 accept, ×5 reject); points
+    ending with idepth < 0 or fewer than min(1, K−1) inlier residuals are
+    deleted instead of activated.
+
+    Batched TPU redesign: all [K_anchor, N] landmarks refine simultaneously;
+    each evaluation is one [K, K, N, P] reproject+sample pass returning
+    energy AND the scalar GN system (single pass per LM iteration).
+    """
+    k = window.num_slots
+    dtype = imm.idepth.dtype
+    t_ji = _relative_poses(window.t_lin_q, window.t_lin_t,
+                           window.eps[:, :6])               # [i, j]
+    affine = window.affine()
+    ratio = window.exposure[None, :] / jnp.maximum(window.exposure[:, None], 1e-12)
+    scale = ratio * jnp.exp(affine[None, :, 0] - affine[:, None, 0])  # [i, j]
+    pair = (window.frame_valid[:, None] & window.frame_valid[None, :]
+            & ~jnp.eye(k, dtype=bool))
+
+    pattern = shift_pattern(imm.uv)                          # [K, N, P, 2]
+    t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
+    corrected = scale[:, :, None, None] * (
+        imm.patch[:, None] - affine[:, None, None, None, 1])
+
+    def eval_full(idepth):
+        rj = reproject_jacobian(
+            model, model, pattern[:, None], idepth[:, None, :, None], t_b)
+        vals, inside = jax.vmap(
+            lambda m, uv: sample(m, uv), in_axes=(0, 1), out_axes=1
+        )(window.maps, rj.uv)                                # [K,K,N,P,3]
+        ok = jnp.all(rj.valid & inside, axis=-1) & pair[:, :, None]
+
+        r = (vals[..., 0] - affine[None, :, None, None, 1]) - corrected
+        r = jnp.where(ok[..., None], r, 0.0)
+        r2 = jnp.sum(r * r, axis=-1)                         # [K,K,N]
+        rnorm = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        w = jnp.where(rnorm > huber_sigma, huber_sigma / rnorm, 1.0)
+        inlier = ok & (r2 < MAX_ENERGY_FOR_INLIERS)
+        e_term = jnp.where(inlier, w * r2,
+                           jnp.where(ok, MAX_ENERGY_FOR_INLIERS, 0.0))
+        energy = jnp.sum(e_term, axis=1)                     # [K, N]
+        inliers = jnp.sum(inlier, axis=1)                    # [K, N]
+
+        d = (vals[..., 1] * rj.d_uv_d_idepth[..., 0]
+             + vals[..., 2] * rj.d_uv_d_idepth[..., 1])      # [K,K,N,P]
+        d = jnp.where(ok[..., None], d, 0.0)
+        h = jnp.sum(w[..., None] * d * d, axis=(1, 3))       # [K, N]
+        b = jnp.sum(w[..., None] * d * r, axis=(1, 3))
+        return energy, inliers, h, b
+
+    idepth = imm.idepth
+    e, inliers, h, b = eval_full(idepth)
+
+    def body(it, carry):
+        idepth, e, inliers, h, b, lam = carry
+        step = b / jnp.maximum(h * (1.0 + lam), 1e-20)
+        trial = idepth - step
+        e_new, inl_new, h_new, b_new = eval_full(trial)
+        accept = (e_new < e) & (h > 0)
+        idepth = jnp.where(accept, trial, idepth)
+        e = jnp.where(accept, e_new, e)
+        inliers = jnp.where(accept, inl_new, inliers)
+        h = jnp.where(accept, h_new, h)
+        b = jnp.where(accept, b_new, b)
+        lam = jnp.where(accept, lam / REFINE_REG_DEC, lam * REFINE_REG_INC)
+        return idepth, e, inliers, h, b, lam
+
+    lam0 = jnp.full(idepth.shape, REFINE_REG0, dtype)
+    idepth, e, inliers, _, _, _ = jax.lax.fori_loop(
+        0, REFINE_ITERATIONS, body, (idepth, e, inliers, h, b, lam0))
+
+    min_inliers = jnp.minimum(1, jnp.sum(window.frame_valid) - 1)
+    keep = activate & (inliers >= min_inliers) & (idepth > 0)
+    return jnp.where(keep, idepth, imm.idepth), keep
+
+
 @jax.jit
 def _activation_scatter(window: Window, imm: ImmaturePoints, activate, delete):
     """Move accepted immature points into free landmark slots (on device).
@@ -158,12 +251,23 @@ def _activation_scatter(window: Window, imm: ImmaturePoints, activate, delete):
 class LandmarksActivator:
     desired_points: int = 2000
     min_distance_to_neighbor: float = 3.0
+    refine: bool = False          # REFINE template flag (idepth GN on activation)
+    huber_sigma: float = 20.0
 
     def activate(self, window: Window, model, imm: ImmaturePoints):
         """Run activation; returns (window', imm', stats) — two device
-        programs plus one scalar readback."""
+        programs plus one scalar readback (three with refinement)."""
         activate, delete, n_active = _activation_kernel(
             window, model, imm, self.min_distance_to_neighbor)
+        if self.refine:
+            was_activate = activate
+            idepth, activate = _refine_idepth_kernel(
+                window, model, imm, activate, self.huber_sigma)
+            delete = delete | (was_activate & ~activate)
+            # setIdepthMin/Max(idepth) — landmarks_activator.cpp:308-309
+            imm = imm._replace(
+                idepth_min=jnp.where(activate, idepth, imm.idepth_min),
+                idepth_max=jnp.where(activate, idepth, imm.idepth_max))
         window, imm, n_activated = _activation_scatter(
             window, imm, activate, delete)
         n_active, n_activated = jax.device_get((n_active, n_activated))

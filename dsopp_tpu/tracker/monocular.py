@@ -108,6 +108,8 @@ class TrackerConfig:
     max_marginalized_fraction: float = 0.95
     huber_sigma: float = 20.0
     use_rotation_perturbations: bool = True
+    estimate_uncertainty: bool = False   # pose-pose covariance per solve
+    refine_activation: bool = True       # idepth GN on activation (REFINE)
 
 
 def _initialization_hypotheses(t_w_last: SE3, t_prev_rel: SE3, t_w_kf: SE3,
@@ -162,7 +164,9 @@ class MonocularTracker:
         self.keyframe_strategy = OpticalFlowKeyframeStrategy(config.keyframe_factor)
         self.marg_strategy = SparseMarginalizationStrategy(
             config.window_min, config.window_max, config.max_marginalized_fraction)
-        self.activator = LandmarksActivator(config.desired_points)
+        self.activator = LandmarksActivator(
+            config.desired_points, refine=config.refine_activation,
+            huber_sigma=config.huber_sigma)
         self.pba_opts = PBAOptions(huber_sigma=config.huber_sigma)
         self.align_opts = AlignmentOptions(huber_sigma=config.huber_sigma)
 
@@ -362,6 +366,20 @@ class MonocularTracker:
             self.last_affine = self.window.affine()[slot]
             stats = {**act_stats, **solve_stats}
 
+            if cfg.estimate_uncertainty:
+                from dsopp_tpu.solvers.pba import pose_covariances
+
+                _, cov_rel = pose_covariances(
+                    self.window, self.camera, self.pba_opts)
+                cov_rel = np.asarray(cov_rel, np.float64)
+                ids = np.asarray(self.window.frame_id)
+                live = np.asarray(self.window.frame_valid)
+                for i in np.where(live)[0]:
+                    for j in np.where(live)[0]:
+                        if i != j:
+                            self.track.connections[
+                                (int(ids[i]), int(ids[j]))] = cov_rel[i, j]
+
             imm_counts = np.asarray(jnp.sum(self.immature.valid, axis=1))
             frame_flags, lm_flags, new_outliers = self.marg_strategy.flags(
                 self.window, imm_counts)
@@ -377,7 +395,10 @@ class MonocularTracker:
                     lm_marg_flag=jnp.asarray(lm_flags),
                 )
                 ids_before = np.asarray(self.window.frame_id).copy()
-                self.window = pba_marginalize(self.window, self.camera, self.pba_opts)
+                self.window = pba_marginalize(
+                    self.window, self.camera, self.pba_opts,
+                    frame_flags=np.asarray(frame_flags),
+                    lm_any=bool(np.asarray(lm_flags).any()))
                 self._permute_immature(ids_before, frame_flags)
 
         self._kf_pose_cache = None

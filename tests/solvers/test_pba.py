@@ -152,3 +152,33 @@ def test_marginalized_prior_pins_scale_and_pose():
     for pos in range(4):
         d = window.poses().slice(pos).inverse() @ poses_before.slice(pos + 1)
         assert float(jnp.linalg.norm(d.t)) < 5e-3
+
+
+def test_pose_covariances_sane():
+    """Uncertainty export: covariance blocks of live frames are PSD-ish,
+    relative covariances are symmetric, and dead slots read ~0
+    (covarianceMatrixPosePose + relativeTransformationUncertainty)."""
+    from dsopp_tpu.solvers.pba import pose_covariances
+
+    seq = _seq()
+    window = build_test_window(seq, FRAMES, seed=13)
+    window, _ = solve_window(window, seq.camera)
+    cov, cov_rel = pose_covariances(window, seq.camera)
+
+    k = window.num_slots
+    cov = np.asarray(cov).reshape(k, 8, k, 8)
+    cov_rel = np.asarray(cov_rel)
+    live = np.asarray(window.frame_valid)
+
+    for i in np.where(live)[0]:
+        d = np.diagonal(cov[i, :, i, :])
+        assert np.all(d >= -1e-8), d
+        assert np.isfinite(d).all()
+    # dead slots must carry ~no covariance
+    for i in np.where(~live)[0]:
+        assert np.abs(cov[i]).max() < 1e-9
+
+    i, j = np.where(live)[0][:2]
+    s = cov_rel[i, j]
+    np.testing.assert_allclose(s, s.T, atol=1e-5)
+    assert np.abs(s).max() > 0
