@@ -60,12 +60,24 @@ def apply_overrides(config: dict, overrides) -> dict:
 class Application:
     """Constructed pipeline (reference DSOPP facade analog)."""
 
-    camera: object        # sensors.Camera
+    camera: object        # master sensors.Camera
     tracker: object       # tracker.MonocularTracker
     config: dict
     init_poses: Optional[dict] = None   # timestamp → SE3 (bootstrap poses)
     init_frames: int = 8
     fbs_initializer: Optional[object] = None  # feature-based bootstrap
+    agent: Optional[object] = None      # sensors.agent.Agent (multi-sensor rig)
+    synchronizer: Optional[object] = None
+
+    def _next_frame(self):
+        """Pull the next master-camera frame through the synchronizer
+        (reference dsopp.cpp:116 ``synchronizer_->sync(sensors)``)."""
+        if self.synchronizer is not None:
+            sync = self.synchronizer.sync()
+            if sync is None:
+                return None
+            return sync.camera_frame(self.camera.sensor_id)
+        return self.camera.next_frame()
 
     def run(self, max_frames: Optional[int] = None, on_frame=None):
         """Main loop (reference dsopp.cpp:102-145): pull synchronized
@@ -75,7 +87,7 @@ class Application:
         n = 0
         buffered = []   # frames retained while the FBS initializer runs
         while True:
-            frame = self.camera.next_frame()
+            frame = self._next_frame()
             if frame is None or (max_frames is not None and n >= max_frames):
                 break
             result = None
@@ -128,6 +140,12 @@ class Application:
                 opts.essential_ransac_threshold_px))
             opts.pnp_ransac_threshold_px = float(init_cfg.get(
                 "pnp_ransac_threshold", opts.pnp_ransac_threshold_px))
+            # reference fbs fabric: initializer_type calibrated|autocalibrated
+            opts.autocalibrate = (
+                init_cfg.get("initializer_type", "calibrated")
+                == "autocalibrated")
+            opts.reprojection_threshold_px = float(init_cfg.get(
+                "reprojection_threshold", opts.reprojection_threshold_px))
             self.fbs_initializer = MonocularInitializer(model, opts)
         return self.fbs_initializer
 
@@ -180,16 +198,19 @@ def build_application(config: dict, base_dir: str = ".", dtype=None) -> Applicat
 
     dtype = jnp.float32 if dtype is None else dtype
 
-    sensors = config.get("sensors", [])
-    camera_params = None
-    for s in sensors:
+    from dsopp_tpu.sensors.agent import Agent, Sensors
+    from dsopp_tpu.sensors.synchronizer import create_synchronizer
+
+    registry = Sensors()
+    for i, s in enumerate(config.get("sensors", [])):
         if s.get("type") == "camera":
-            camera_params = s
-            break
-    if camera_params is None:
+            registry.add_camera(Camera.from_config(
+                s.get("id", f"camera_{i + 1}"), s, base_dir))
+    if len(registry) == 0:
         raise ValueError("config has no camera sensor")
-    camera = Camera.from_config(
-        camera_params.get("id", "camera_1"), camera_params, base_dir)
+    agent = Agent(sensors=registry)
+    synchronizer = create_synchronizer(config.get("time"), registry)
+    camera = registry.get(synchronizer.master) or registry.master
 
     tracker_params = config.get("tracker", {})
     if tracker_params.get("type", "monocular") != "monocular":
@@ -215,4 +236,5 @@ def build_application(config: dict, base_dir: str = ".", dtype=None) -> Applicat
         init_frames = int(init_params.get("num_frames", init_frames))
 
     return Application(camera=camera, tracker=tracker, config=config,
-                       init_poses=init_poses, init_frames=init_frames)
+                       init_poses=init_poses, init_frames=init_frames,
+                       agent=agent, synchronizer=synchronizer)

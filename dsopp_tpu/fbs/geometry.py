@@ -213,3 +213,149 @@ def ransac_pnp(points3d, m, threshold, iterations=200, seed=0):
         err = np.linalg.norm(proj - m, axis=1)
         inliers = (cam[:, 2] > 1e-6) & (err < threshold)
     return r, t, inliers
+
+
+# ---------------------------------------------------------------------------
+# SO3×S2 Sampson refinement (+ focal autocalibration)
+# ---------------------------------------------------------------------------
+
+def _spherical_to_unit(theta, phi):
+    import jax.numpy as jnp
+
+    st = jnp.sin(theta)
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)])
+
+
+def sampson_distance_pixels(e, pc_ref, pc_tgt, inv_focal):
+    """Sampson residual in PIXELS for centered pixel coords (reference
+    sampsonDistance, cost_functors/sampson_distance_cost.hpp:17-28)."""
+    import jax.numpy as jnp
+
+    ones = jnp.ones(pc_ref.shape[:-1] + (1,), pc_ref.dtype)
+    r = jnp.concatenate([pc_ref * inv_focal, ones], axis=-1)
+    t = jnp.concatenate([pc_tgt * inv_focal, ones], axis=-1)
+    er = r @ e.T
+    te = t @ e
+    top = jnp.sum(t * er, axis=-1)
+    bottom = (jnp.sum((er[..., :2] * inv_focal) ** 2, axis=-1)
+              + jnp.sum((te[..., :2] * inv_focal) ** 2, axis=-1))
+    return jnp.where(bottom < 1e-16, top,
+                     top / jnp.sqrt(jnp.maximum(bottom, 1e-16)))
+
+
+def so3xs2_refine(pc_ref, pc_tgt, r0, t0, focal, threshold,
+                  optimize_focal=False, iterations=40):
+    """Refine (R, unit-t[, focal]) by Huber'd pixel Sampson distances.
+
+    Mirrors ``refineSO3xS2`` (so3xs2_refinement.cpp:11-49): S2 spherical
+    local parameterization (local_parameterization_s2.hpp:27-62), Huber loss
+    with ``threshold`` px, LM (Ceres defaults).  ``optimize_focal=True`` is
+    the autocalibration variant (estimate_so3xs2_autocalibration.hpp —
+    implementation hidden in the reference; re-derived here).
+
+    ``pc_ref``/``pc_tgt``: [N, 2] PRINCIPAL-POINT-CENTERED pixel coords.
+    Returns (r [3,3], t_unit [3], focal, rms_px).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pc_ref = jnp.asarray(pc_ref, dtype)
+    pc_tgt = jnp.asarray(pc_tgt, dtype)
+    r_cur = jnp.asarray(r0, dtype)
+    t_cur = jnp.asarray(t0, dtype)
+    t_cur = t_cur / jnp.linalg.norm(t_cur)
+    f_cur = jnp.asarray(focal, dtype)
+    thr = jnp.asarray(threshold, dtype)
+    n_par = 6 if optimize_focal else 5
+
+    def hat(v):
+        return jnp.array([[0.0, -v[2], v[1]],
+                          [v[2], 0.0, -v[0]],
+                          [-v[1], v[0], 0.0]], v.dtype)
+
+    def rodrigues(w):
+        # series-safe at w = 0 (jacfwd through ‖w‖ alone is NaN there)
+        th2 = jnp.sum(w * w)
+        th = jnp.sqrt(th2 + 1e-30)
+        a = jnp.sin(th) / th
+        b = (1.0 - jnp.cos(th)) / (th2 + 1e-30)
+        k = hat(w)
+        return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
+
+    def residuals(params, r_c, t_c, f_c):
+        r = r_c @ rodrigues(params[:3])
+        theta = jnp.arccos(jnp.clip(t_c[2], -1.0 + 1e-12, 1.0 - 1e-12))
+        phi = jnp.arctan2(t_c[1], t_c[0])
+        t = _spherical_to_unit(theta + params[3], phi + params[4])
+        f = f_c + (params[5] if optimize_focal else 0.0)
+        e = hat(t) @ r
+        return sampson_distance_pixels(e, pc_ref, pc_tgt, 1.0 / f), (r, t, f)
+
+    def huber_we(res):
+        a = thr
+        ab = jnp.abs(res)
+        w = jnp.where(ab <= a, 1.0, a / jnp.maximum(ab, 1e-30))
+        rho = jnp.where(ab <= a, res * res, 2.0 * a * ab - a * a)
+        return w, jnp.sum(rho)
+
+    def energy_of(r_c, t_c, f_c):
+        res, _ = residuals(jnp.zeros(n_par, dtype), r_c, t_c, f_c)
+        return huber_we(res)[1]
+
+    jac = jax.jacfwd(lambda p, r_c, t_c, f_c: residuals(p, r_c, t_c, f_c)[0])
+
+    state = (r_cur, t_cur, f_cur, energy_of(r_cur, t_cur, f_cur),
+             jnp.asarray(1e-4, dtype))
+
+    def body(_, state):
+        r_c, t_c, f_c, e, lam = state
+        p0 = jnp.zeros(n_par, dtype)
+        res, _ = residuals(p0, r_c, t_c, f_c)
+        j = jac(p0, r_c, t_c, f_c)
+        w, _ = huber_we(res)
+        h = (j * w[:, None]).T @ j
+        g = (j * w[:, None]).T @ res
+        h_d = h + lam * jnp.diag(jnp.diagonal(h)) + 1e-18 * jnp.eye(n_par, dtype=h.dtype)
+        step = -jnp.linalg.solve(h_d, g)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        _, (r_n, t_n, f_n) = residuals(step, r_c, t_c, f_c)
+        e_n = energy_of(r_n, t_n, f_n)
+        acc = e_n < e
+        return (jnp.where(acc, r_n, r_c), jnp.where(acc, t_n, t_c),
+                jnp.where(acc, f_n, f_c), jnp.where(acc, e_n, e),
+                jnp.where(acc, lam * 0.5, lam * 4.0))
+
+    r_c, t_c, f_c, e, _ = jax.lax.fori_loop(0, iterations, body, state)
+    rms = jnp.sqrt(e / max(len(np.asarray(pc_ref)), 1))
+    return (np.asarray(r_c), np.asarray(t_c), float(f_c), float(rms))
+
+
+class AutocalibrationSelector:
+    """Aggregates per-pair autocalibration estimates and selects the robust
+    consensus (reference autocalibration_selector.hpp — implementation
+    hidden; median selection re-derived)."""
+
+    def __init__(self):
+        self.focal_lengths = []
+        self.k1 = []
+        self.k2 = []
+
+    def add_result(self, focal_length, k=(0.0, 0.0)):
+        self.focal_lengths.append(float(focal_length))
+        self.k1.append(float(k[0]))
+        self.k2.append(float(k[1]))
+
+    def reset(self):
+        self.focal_lengths.clear()
+        self.k1.clear()
+        self.k2.clear()
+
+    def get_focal_length(self):
+        return float(np.median(self.focal_lengths))
+
+    def get_distortion_coeffs(self):
+        return np.array([np.median(self.k1), np.median(self.k2)])
+
+    def __len__(self):
+        return len(self.focal_lengths)

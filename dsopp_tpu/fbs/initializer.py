@@ -25,10 +25,12 @@ from typing import List, Optional
 import numpy as np
 
 from dsopp_tpu.fbs.geometry import (
+    AutocalibrationSelector,
     decompose_essential,
     ransac_essential,
     ransac_pnp,
     so3_inlier_ratio,
+    so3xs2_refine,
     triangulate,
 )
 from dsopp_tpu.fbs.geometric_ba import refine
@@ -48,6 +50,8 @@ class InitializerOptions:
     min_frames: int = 5
     max_frames: int = 30
     reference_image_width: float = 1280.0
+    reprojection_threshold_px: float = 2.0   # SO3×S2 Huber threshold
+    autocalibrate: bool = False              # initializer_type: autocalibrated
 
 
 @dataclass
@@ -102,9 +106,18 @@ class MonocularInitializer:
         out[valid_in] = p1
         return out
 
+    def _selector(self):
+        if getattr(self, "selector", None) is None:
+            self.selector = AutocalibrationSelector()
+        return self.selector
+
     def _normalize(self, pts):
         fx = float(self.camera.fx)
         fy = float(self.camera.fy)
+        override = getattr(self, "focal_override", None)
+        if override is not None:
+            fy = override * fy / fx   # keep the aspect ratio
+            fx = override
         cx = float(self.camera.cx)
         cy = float(self.camera.cy)
         return np.stack([(pts[:, 0] - cx) / fx, (pts[:, 1] - cy) / fy], axis=1)
@@ -171,6 +184,30 @@ class MonocularInitializer:
             return False
 
         r, t, pts3d_in, front = decompose_essential(e, m1[inliers], m2[inliers])
+        if front.sum() < 15:
+            self._restart(last.image, last.frame_id, last.timestamp)
+            return False
+
+        # SO3×S2 Sampson refinement of the essential estimate, optionally
+        # with focal autocalibration (estimate_so3xs2.cpp:104; the
+        # autocalibrated initializer_type optimizes focal per pair and takes
+        # the selector consensus)
+        cx = float(self.camera.cx)
+        cy = float(self.camera.cy)
+        pp = np.array([cx, cy])
+        pc1 = first.points[both][inliers] - pp
+        pc2 = last.points[both][inliers] - pp
+        r, t, f_new, _rms = so3xs2_refine(
+            pc1, pc2, r, t, float(self.camera.fx),
+            self.options.reprojection_threshold_px,
+            optimize_focal=self.options.autocalibrate)
+        if self.options.autocalibrate:
+            self._selector().add_result(f_new)
+            self.focal_override = self._selector().get_focal_length()
+            # re-normalize with the consensus focal before triangulation
+            m1 = self._normalize(first.points[both])
+            m2 = self._normalize(last.points[both])
+        pts3d_in, front = triangulate(r, t, m1[inliers], m2[inliers])
         if front.sum() < 15:
             self._restart(last.image, last.frame_id, last.timestamp)
             return False

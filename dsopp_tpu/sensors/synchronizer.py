@@ -58,10 +58,17 @@ class MasterSensorSynchronizer(NoSynchronization):
 
 
 def create_synchronizer(params: dict, cameras: dict):
-    """Fabric on the ``time:`` config section (reference synchronizer fabric)."""
+    """Fabric on the ``time:`` config section (reference synchronizer
+    fabric.cpp:12-44 — ``type: master`` with ``sensor_id``, or
+    ``no_synchronization``).  Accepts a ``Sensors`` registry or a dict."""
+    if hasattr(cameras, "cameras"):   # sensors.agent.Sensors
+        cameras = cameras.cameras
     kind = (params or {}).get("type", "no_synchronization")
     if kind in ("no_synchronization", "none"):
         return NoSynchronization(cameras)
     if kind in ("master_sensor", "master"):
-        return MasterSensorSynchronizer(cameras, params.get("master_sensor_id"))
+        master = params.get("sensor_id", params.get("master_sensor_id"))
+        if master is not None and master not in cameras:
+            raise ValueError(f"master sensor {master!r} not registered")
+        return MasterSensorSynchronizer(cameras, master)
     raise ValueError(f"unknown synchronizer type {kind!r}")

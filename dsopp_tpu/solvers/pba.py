@@ -598,10 +598,16 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
     return out, e, n
 
 
-def solve_window(window: Window, model, opts: PBAOptions = PBAOptions()):
+def solve_window(window: Window, model, opts: PBAOptions = PBAOptions(),
+                 readback: bool = True):
     """Full backend solve (EigenPBA::solve): FEJ → LM loop → relinearize →
-    outlier rejection — one fused device program + one scalar readback."""
+    outlier rejection — one fused device program + one scalar readback.
+
+    ``readback=False`` returns the (energy, num_valid) device scalars so the
+    caller can batch them into a single host transfer."""
     out, e, n = _solve_loop_device(window, model, opts)
+    if not readback:
+        return out, (e, n)
     energy, n_valid = jax.device_get((e, n))
     return out, {"energy": float(energy), "num_valid": int(n_valid)}
 

@@ -254,9 +254,10 @@ class LandmarksActivator:
     refine: bool = False          # REFINE template flag (idepth GN on activation)
     huber_sigma: float = 20.0
 
-    def activate(self, window: Window, model, imm: ImmaturePoints):
-        """Run activation; returns (window', imm', stats) — two device
-        programs plus one scalar readback (three with refinement)."""
+    def activate_deferred(self, window: Window, model, imm: ImmaturePoints):
+        """Run activation; returns (window', imm', n_active_dev,
+        n_activated_dev) with the counters left ON DEVICE so the caller can
+        batch the readback; follow with :meth:`note_active_count`."""
         activate, delete, n_active = _activation_kernel(
             window, model, imm, self.min_distance_to_neighbor)
         if self.refine:
@@ -270,14 +271,23 @@ class LandmarksActivator:
                 idepth_max=jnp.where(activate, idepth, imm.idepth_max))
         window, imm, n_activated = _activation_scatter(
             window, imm, activate, delete)
-        n_active, n_activated = jax.device_get((n_active, n_activated))
+        return window, imm, n_active, n_activated
 
-        # P-controller toward the desired density
+    def note_active_count(self, n_active: int):
+        """P-controller step toward the desired density
+        (recalculateMinDistanceToNeighbor)."""
         self.min_distance_to_neighbor = float(np.clip(
             self.min_distance_to_neighbor
             + (int(n_active) - self.desired_points) * P_GAIN,
             MIN_DISTANCE, MAX_DISTANCE))
 
+    def activate(self, window: Window, model, imm: ImmaturePoints):
+        """Run activation; returns (window', imm', stats) — two device
+        programs plus one scalar readback (three with refinement)."""
+        window, imm, n_active, n_activated = self.activate_deferred(
+            window, model, imm)
+        n_active, n_activated = jax.device_get((n_active, n_activated))
+        self.note_active_count(int(n_active))
         return window, imm, {
             "activated": int(n_activated),
             "active": int(n_active),

@@ -35,21 +35,36 @@ class SparseMarginalizationStrategy:
     maximum_size: int = 7
     maximum_marginalized_fraction: float = 0.95
 
-    def flags(self, window: Window, immature_counts=None):
+    def flags(self, window: Window, immature_counts=None, host=None):
         """→ (frame_flags [K] bool, landmark_flags [K,N] bool, outlier_flags).
 
         ``immature_counts``: per-slot count of live immature points (they
         count as "active" for the frame-dropping heuristic).
+        ``host``: optional dict of pre-fetched numpy copies of the window
+        fields (keys: frame_valid, lm_valid, lm_outlier, lm_opt_count,
+        lm_inliers, poses_t, frame_id, res_status) — on remote-attached
+        TPUs the caller batches these into one transfer.
         """
         k = window.num_slots
         f = window.frame_count()
-        frame_valid = np.asarray(window.frame_valid)
-        lm_valid = np.asarray(window.lm_valid)
-        lm_outlier = np.asarray(window.lm_outlier)
+        if host is None:
+            host = {
+                "frame_valid": np.asarray(window.frame_valid),
+                "lm_valid": np.asarray(window.lm_valid),
+                "lm_outlier": np.asarray(window.lm_outlier),
+                "lm_opt_count": np.asarray(window.lm_opt_count),
+                "lm_inliers": np.asarray(window.lm_inliers),
+                "poses_t": np.asarray(window.poses().t),
+                "frame_id": np.asarray(window.frame_id),
+                "res_status": None,   # fetched lazily below
+            }
+        frame_valid = host["frame_valid"]
+        lm_valid = host["lm_valid"]
+        lm_outlier = host["lm_outlier"]
         lm_marginalized_count = np.zeros(k)  # dropped landmarks are gone; approximate
-        lm_opt = np.asarray(window.lm_opt_count)
-        lm_inl = np.asarray(window.lm_inliers)
-        poses_t = np.asarray(window.poses().t)
+        lm_opt = host["lm_opt_count"]
+        lm_inl = host["lm_inliers"]
+        poses_t = host["poses_t"]
 
         frame_flags = np.zeros(k, bool)
         if immature_counts is None:
@@ -67,7 +82,7 @@ class SparseMarginalizationStrategy:
 
         # 2. DSO eq (20) distance score when window too large
         if f > self.maximum_size + frame_flags.sum():
-            ids = np.asarray(window.frame_id)
+            ids = host["frame_id"]
             newest_id = ids[f - 1]
             best, best_i = 0.0, None
             for i in range(max(f - KEEP_FRAMES_FROM_END, 0)):
@@ -88,7 +103,9 @@ class SparseMarginalizationStrategy:
         lm_flags = np.zeros_like(lm_valid)
         new_outliers = np.zeros_like(lm_valid)
         if f > KEEP_FRAMES_FROM_END:
-            status = np.asarray(window.res_status)   # [anchor, target, n]
+            status = host["res_status"]              # [anchor, target, n]
+            if status is None:
+                status = np.asarray(window.res_status)
             newest = f - 1
             min_good = (self.minimum_size + 1) // 2
             good_opts = self.maximum_size * 2

@@ -194,8 +194,14 @@ class MonocularTracker:
         return cached
 
     def _kf_id(self) -> int:
-        pos = self.window.frame_count() - 1
-        return int(np.asarray(self.window.frame_id)[pos])
+        # host-cached: ids are known at push time; reading window.frame_id
+        # back costs a device round-trip per frame on remote-attached TPUs
+        cached = getattr(self, "_kf_id_cache", None)
+        if cached is None:
+            pos = self.window.frame_count() - 1
+            cached = int(np.asarray(self.window.frame_id)[pos])
+            self._kf_id_cache = cached
+        return cached
 
     # ------------------------------------------------------------------
     def tick(self, frame_id: int, timestamp: float, image,
@@ -287,9 +293,10 @@ class MonocularTracker:
             self.align_opts, self.config.use_rotation_perturbations,
             self.config.pyramid_levels, self.config.huber_sigma)
 
-        # single batched readback of the scalar summaries
-        rmse, num_valid, flow, flow_nr = jax.device_get(
-            (out.rmse, out.num_valid, out.flow, out.flow_no_rot))
+        # single batched readback of the scalar summaries + attach matrix
+        rmse, num_valid, flow, flow_nr, t_kf_frame_mat = jax.device_get(
+            (out.rmse, out.num_valid, out.flow, out.flow_no_rot,
+             out.t_kf_frame_mat))
         rmse = float(rmse)
         reliable = (rmse < ENERGY_RATIO_THRESHOLD * self.rmse_last[0]
                     and int(num_valid) > 0)
@@ -299,7 +306,7 @@ class MonocularTracker:
             self.rmse_last[0] *= ENERGY_RATIO_THRESHOLD
         self.last_affine = out.affine
         self.immature = out.immature
-        self._last_kf_frame_mat = np.asarray(out.t_kf_frame_mat, np.float64)
+        self._last_kf_frame_mat = np.asarray(t_kf_frame_mat, np.float64)
         t_w_t = SE3(out.pose_q, out.pose_t)
         t_t_kf = SE3(out.t_t_kf_q, out.t_t_kf_t)
         return (t_w_t, t_t_kf, rmse, reliable, float(flow), float(flow_nr),
@@ -343,9 +350,10 @@ class MonocularTracker:
 
         self.window = push_frame(
             self.window, pose, maps[0], frame_id=frame_id, fixed=first,
-            affine=np.asarray(self.last_affine, np.float64) if not first else (0.0, 0.0))
+            affine=self.last_affine if not first else (0.0, 0.0))
         self.track.on_keyframe(frame_id, timestamp)
         self.num_keyframes += 1
+        self._kf_id_cache = frame_id
 
         new_bank = self._make_immature_bank(maps)
         if self.immature is None:
@@ -359,47 +367,74 @@ class MonocularTracker:
         self._kf_pose_cache = None
         stats = {}
         if not first:
-            self.window, self.immature, act_stats = self.activator.activate(
-                self.window, self.camera, self.immature)
-            self.window, solve_stats = solve_window(
-                self.window, self.camera, self.pba_opts)
+            # activate + solve, counters left on device
+            self.window, self.immature, n_active_dev, n_activated_dev = (
+                self.activator.activate_deferred(
+                    self.window, self.camera, self.immature))
+            self.window, (e_dev, nv_dev) = solve_window(
+                self.window, self.camera, self.pba_opts, readback=False)
             self.last_affine = self.window.affine()[slot]
-            stats = {**act_stats, **solve_stats}
 
+            # ONE batched device→host transfer covering every host decision:
+            # solver stats, activation counters, marginalization-policy
+            # inputs, and the snapshot fields of potentially-dropped frames
+            w = self.window
+            poses_mat = w.poses().matrix()
+            batch = dict(
+                energy=e_dev, num_valid=nv_dev,
+                n_active=n_active_dev, n_activated=n_activated_dev,
+                imm_counts=jnp.sum(self.immature.valid, axis=1),
+                frame_valid=w.frame_valid, frame_id=w.frame_id,
+                lm_valid=w.lm_valid, lm_outlier=w.lm_outlier,
+                lm_opt_count=w.lm_opt_count, lm_inliers=w.lm_inliers,
+                res_status=w.res_status, poses_mat=poses_mat,
+                affine=w.affine(), exposure=w.exposure, lm_uv=w.lm_uv,
+                lm_idepth=w.lm_idepth, lm_baseline=w.lm_baseline,
+            )
             if cfg.estimate_uncertainty:
                 from dsopp_tpu.solvers.pba import pose_covariances
 
-                _, cov_rel = pose_covariances(
+                _, batch["cov_rel"] = pose_covariances(
                     self.window, self.camera, self.pba_opts)
-                cov_rel = np.asarray(cov_rel, np.float64)
-                ids = np.asarray(self.window.frame_id)
-                live = np.asarray(self.window.frame_valid)
-                for i in np.where(live)[0]:
-                    for j in np.where(live)[0]:
+            host = jax.device_get(batch)
+            host["poses_t"] = host["poses_mat"][:, :3, 3]
+
+            self.activator.note_active_count(int(host["n_active"]))
+            stats = {
+                "energy": float(host["energy"]),
+                "num_valid": int(host["num_valid"]),
+                "activated": int(host["n_activated"]),
+                "active": int(host["n_active"]),
+                "min_distance": self.activator.min_distance_to_neighbor,
+            }
+
+            if cfg.estimate_uncertainty:
+                cov_rel = np.asarray(host["cov_rel"], np.float64)
+                ids = host["frame_id"]
+                for i in np.where(host["frame_valid"])[0]:
+                    for j in np.where(host["frame_valid"])[0]:
                         if i != j:
                             self.track.connections[
                                 (int(ids[i]), int(ids[j]))] = cov_rel[i, j]
 
-            imm_counts = np.asarray(jnp.sum(self.immature.valid, axis=1))
             frame_flags, lm_flags, new_outliers = self.marg_strategy.flags(
-                self.window, imm_counts)
+                self.window, host["imm_counts"], host=host)
             self.window = dataclasses.replace(
                 self.window,
                 lm_outlier=self.window.lm_outlier | jnp.asarray(new_outliers),
             )
             if frame_flags.any() or lm_flags.any():
-                self._snapshot_marginalized(frame_flags, timestamp)
+                self._snapshot_marginalized(host, frame_flags, timestamp)
                 self.window = dataclasses.replace(
                     self.window,
                     frame_marg=jnp.asarray(frame_flags),
                     lm_marg_flag=jnp.asarray(lm_flags),
                 )
-                ids_before = np.asarray(self.window.frame_id).copy()
                 self.window = pba_marginalize(
                     self.window, self.camera, self.pba_opts,
                     frame_flags=np.asarray(frame_flags),
                     lm_any=bool(np.asarray(lm_flags).any()))
-                self._permute_immature(ids_before, frame_flags)
+                self._permute_immature(host["frame_valid"], frame_flags)
 
         self._kf_pose_cache = None
         # rebuild frontend reference depth maps + per-level points
@@ -414,39 +449,37 @@ class MonocularTracker:
         ]
         return stats
 
-    def _snapshot_marginalized(self, frame_flags, timestamp):
-        poses = self.window.poses()
-        ids = np.asarray(self.window.frame_id)
+    def _snapshot_marginalized(self, host, frame_flags, timestamp):
+        """Record dropped keyframes from the batched host snapshot (no
+        additional device readbacks)."""
+        ids = host["frame_id"]
         for pos in np.where(frame_flags)[0]:
             fid = int(ids[pos])
             self.track.on_marginalize(MarginalizedKeyframe(
                 frame_id=fid,
                 timestamp=self.track.keyframe_timestamps.get(fid, timestamp),
-                t_wc=np.asarray(SE3(poses.q[pos], poses.t[pos]).matrix(), np.float64),
-                affine=np.asarray(self.window.affine()[pos], np.float64),
-                exposure=float(self.window.exposure[pos]),
-                lm_uv=np.asarray(self.window.lm_uv[pos]),
-                lm_idepth=np.asarray(self.window.lm_idepth[pos]),
-                lm_valid=np.asarray(self.window.lm_valid[pos]),
-                lm_outlier=np.asarray(self.window.lm_outlier[pos]),
-                lm_baseline=np.asarray(self.window.lm_baseline[pos]),
+                t_wc=np.asarray(host["poses_mat"][pos], np.float64),
+                affine=np.asarray(host["affine"][pos], np.float64),
+                exposure=float(host["exposure"][pos]),
+                lm_uv=host["lm_uv"][pos],
+                lm_idepth=host["lm_idepth"][pos],
+                lm_valid=host["lm_valid"][pos],
+                lm_outlier=host["lm_outlier"][pos],
+                lm_baseline=host["lm_baseline"][pos],
             ))
 
-    def _permute_immature(self, ids_before, frame_flags):
-        """Reorder immature banks to match the compacted window slots."""
-        ids_after = np.asarray(self.window.frame_id)
-        perm = []
-        for fid in ids_after:
-            if fid < 0:
-                perm.append(len(ids_before) - 1)  # any dead slot
-            else:
-                perm.append(int(np.where(ids_before == fid)[0][0]))
-        perm = jnp.asarray(perm)
+    def _permute_immature(self, frame_valid, frame_flags):
+        """Reorder immature banks to match the compacted window slots (same
+        kept-first permutation the marginalizer applies)."""
+        k = self.window.num_slots
+        kept = np.where(~np.asarray(frame_flags) & np.asarray(frame_valid))[0]
+        dead = [i for i in range(k) if i not in kept]
+        perm = jnp.asarray(np.concatenate([kept, dead]).astype(np.int32))
         self.immature = jax.tree_util.tree_map(lambda x: x[perm], self.immature)
-        # dead slots: invalidate
-        dead = jnp.asarray(ids_after < 0)
+        dead_mask = np.zeros(k, bool)
+        dead_mask[len(kept):] = True
         self.immature = self.immature._replace(
-            valid=self.immature.valid & ~dead[:, None])
+            valid=self.immature.valid & ~jnp.asarray(dead_mask)[:, None])
 
     # ------------------------------------------------------------------
     def initialize(self, frames):

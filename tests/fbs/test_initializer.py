@@ -128,3 +128,47 @@ def test_initializer_on_synthetic_sequence():
     stats = absolute_trajectory_error(est, gt, align=True, with_scale=True)
     # monocular bootstrap: similarity-aligned trajectory must match GT
     assert stats["rmse"] < 0.02, stats
+
+
+def test_so3xs2_refinement_improves_noisy_pose():
+    """refineSO3xS2 parity (so3xs2_refinement.cpp:11-49): Sampson LM pulls a
+    perturbed (R, t̂) back toward GT."""
+    from dsopp_tpu.fbs.geometry import so3xs2_refine
+
+    focal = 400.0
+    pts, r_gt, t_gt, m1, m2 = _synthetic_two_view(seed=3, n=150, noise=5e-4)
+    pc1 = m1 * focal
+    pc2 = m2 * focal
+
+    r0 = _rot(np.array([0.01, -0.008, 0.012])) @ r_gt
+    t0 = t_gt + np.array([0.05, -0.04, 0.03])
+
+    def angle(r):
+        return np.degrees(np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1)))
+
+    r, t, f, rms = so3xs2_refine(pc1, pc2, r0, t0, focal, threshold=2.0)
+    assert f == pytest.approx(focal)  # focal fixed in the calibrated path
+    assert angle(r @ r_gt.T) < 0.3 * angle(r0 @ r_gt.T)
+    err0 = np.linalg.norm(t0 / np.linalg.norm(t0) - t_gt)
+    assert np.linalg.norm(t - t_gt) < 0.3 * err0
+    assert rms < 1.0
+
+
+def test_so3xs2_autocalibration_recovers_focal():
+    """Autocalibration variant: wrong focal guess must move toward truth."""
+    from dsopp_tpu.fbs.geometry import AutocalibrationSelector, so3xs2_refine
+
+    focal_gt = 400.0
+    selector = AutocalibrationSelector()
+    for seed in (1, 2, 3):
+        pts, r_gt, t_gt, m1, m2 = _synthetic_two_view(seed=seed, n=200, noise=2e-4)
+        pc1 = m1 * focal_gt
+        pc2 = m2 * focal_gt
+        r0 = _rot(np.array([0.004, -0.003, 0.005])) @ r_gt
+        t0 = t_gt + np.array([0.02, -0.02, 0.01])
+        _, _, f, _ = so3xs2_refine(
+            pc1, pc2, r0, t0, 300.0, threshold=2.0,
+            optimize_focal=True, iterations=80)
+        selector.add_result(f)
+    f_sel = selector.get_focal_length()
+    assert abs(f_sel - focal_gt) < 0.25 * abs(300.0 - focal_gt), f_sel
