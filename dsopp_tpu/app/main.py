@@ -74,9 +74,12 @@ def main(argv=None):
         print(f"frame {frame.frame_id} {kind} fps(50)={fps:5.1f}", flush=True)
 
     n = app.run(max_frames=args.max_frames, on_frame=on_frame)
+    app.finish()
     total = time.time() - t0
     print(f"processed {n} frames in {total:.1f}s "
           f"({n / max(total, 1e-9):.2f} fps total)")
+    if app.sanity_checker is not None and app.sanity_checker.results:
+        print(f"sanity violations: {dict(app.sanity_checker.results)}")
 
     model = app.camera.camera_model()
     camera_info = {
@@ -92,7 +95,9 @@ def main(argv=None):
 
         save_track_bin(args.track_bin_path, app.tracker.track,
                        app.tracker.window, camera=model,
-                       model=app.camera.settings.calibration)
+                       model=app.camera.settings.calibration,
+                       sanity_results=(app.sanity_checker.results
+                                       if app.sanity_checker else None))
         print(f"reference-format track written to {args.track_bin_path}")
 
     if args.trajectory_file_path:

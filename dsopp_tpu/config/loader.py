@@ -68,6 +68,7 @@ class Application:
     fbs_initializer: Optional[object] = None  # feature-based bootstrap
     agent: Optional[object] = None      # sensors.agent.Agent (multi-sensor rig)
     synchronizer: Optional[object] = None
+    sanity_checker: Optional[object] = None  # sanity_checker.SanityChecker
 
     def _next_frame(self):
         """Pull the next master-camera frame through the synchronizer
@@ -120,8 +121,47 @@ class Application:
                     frame.frame_id, frame.timestamp, frame.image)
             if on_frame is not None:
                 on_frame(frame, result)
+            if result and result.get("keyframe"):
+                self._run_sanity_check()
             n += 1
         return n
+
+    def _run_sanity_check(self):
+        """Feed newly marginalized keyframes to the sanity checker
+        (reference dsopp.cpp checks the live track per tick; here only
+        host-resident snapshots are checked so the hot loop never pays an
+        extra device→host readback — active-window poses are checked once
+        at ``finish``)."""
+        if self.sanity_checker is None:
+            return
+        track = self.tracker.track
+        kfs = [(i, kf.timestamp, kf.t_wc)
+               for i, kf in enumerate(track.marginalized)]
+        if kfs:
+            self.sanity_checker.check(kfs)
+
+    def finish(self):
+        """End-of-run bookkeeping: sanity-check the remaining active window."""
+        if self.sanity_checker is None:
+            return
+        import numpy as np
+
+        from dsopp_tpu.core.lie import SE3
+
+        track = self.tracker.track
+        window = self.tracker.window
+        kfs = [(i, kf.timestamp, kf.t_wc)
+               for i, kf in enumerate(track.marginalized)]
+        base = len(kfs)
+        poses = window.poses()
+        ids = np.asarray(window.frame_id)
+        for pos in range(window.frame_count()):
+            fid = int(ids[pos])
+            kfs.append((base + pos,
+                        track.keyframe_timestamps.get(fid, 0.0),
+                        np.asarray(SE3(poses.q[pos], poses.t[pos]).matrix())))
+        if kfs:
+            self.sanity_checker.check(kfs)
 
     def _fbs(self):
         if self.fbs_initializer is None:
@@ -235,6 +275,11 @@ def build_application(config: dict, base_dir: str = ".", dtype=None) -> Applicat
         init_poses = {float(t): m for t, m in entries}
         init_frames = int(init_params.get("num_frames", init_frames))
 
+    from dsopp_tpu.sanity_checker import create_sanity_checker
+
+    sanity = create_sanity_checker(config.get("sanity_checker"), base_dir)
+
     return Application(camera=camera, tracker=tracker, config=config,
                        init_poses=init_poses, init_frames=init_frames,
-                       agent=agent, synchronizer=synchronizer)
+                       agent=agent, synchronizer=synchronizer,
+                       sanity_checker=sanity)

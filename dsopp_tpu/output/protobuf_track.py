@@ -159,6 +159,16 @@ def _connections(conns: list) -> bytes:
     return b"".join(field_message(1, c) for c in conns)
 
 
+def _sanity_check_results(results: dict) -> bytes:
+    """SanityCheckResults (sanity_check_results.proto): map<uint64, enum> —
+    wire form is repeated entry messages {1: key, 2: value}."""
+    out = []
+    for frame_index, status in sorted(results.items()):
+        entry = field_varint(1, int(frame_index)) + field_varint(2, int(status))
+        out.append(field_message(1, entry))
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------------------
 # SE3 helpers
 # ---------------------------------------------------------------------------
@@ -188,12 +198,13 @@ def _sophus7_to_mat(p) -> np.ndarray:
 
 
 def save_track_bin(path, track, window=None, camera=None, model=None,
-                   sensor_id=0):
+                   sensor_id=0, sanity_results=None):
     """Write a reference-compatible ``track.bin``.
 
     ``track``: OdometryTrack; ``window``: live PBA window; ``camera``: the
     Pinhole model for landmark directions; ``model``: optional
-    CameraCalibration for AgentSettings.
+    CameraCalibration for AgentSettings; ``sanity_results``: optional
+    {keyframe index → SanityCheckStatus} map (sanity_check_results.proto).
     """
     keyframes = []
     connections = [
@@ -267,7 +278,9 @@ def save_track_bin(path, track, window=None, camera=None, model=None,
         for kf in keyframes:
             f.write(struct.pack("<I", len(kf)))
             f.write(kf)
-        for blob in (_connections(connections), b"", b"", b"", agent):
+        sanity = (_sanity_check_results(sanity_results)
+                  if sanity_results else b"")
+        for blob in (_connections(connections), b"", b"", sanity, agent):
             f.write(struct.pack("<I", len(blob)))
             f.write(blob)
 
@@ -375,4 +388,21 @@ def load_track_bin(path):
             elif field == 9:
                 kf["exposure"] = value
         keyframes.append(kf)
-    return {"keyframes": keyframes}
+
+    # tail sections (track_storage.cpp:55-60): connections, gnss, ecef,
+    # sanity results, agent settings — each u32-size-prefixed
+    sections = []
+    while off + 4 <= len(data):
+        size = struct.unpack_from("<I", data, off)[0]
+        off += 4
+        sections.append(data[off:off + size])
+        off += size
+    sanity = {}
+    if len(sections) >= 4 and sections[3]:
+        for field, wire, value in _parse_fields(sections[3]):
+            if field == 1:
+                entry = {1: 0, 2: 0}
+                for f2, _w2, v2 in _parse_fields(value):
+                    entry[f2] = v2
+                sanity[int(entry[1])] = int(entry[2])
+    return {"keyframes": keyframes, "sanity_check_results": sanity}
