@@ -100,6 +100,25 @@ def build_depth_maps(window: Window, model, height: int, width: int,
     return tuple(out_i), tuple(out_w)
 
 
+@partial(jax.jit, static_argnames=("height", "width", "num_levels",
+                                   "max_points"))
+def build_frontend_state(window: Window, model, maps, height: int, width: int,
+                         num_levels: int, max_points: int):
+    """Depth-map pyramids + per-level frontend points in ONE device program.
+
+    Fuses ``build_depth_maps`` with ``depth_map_level_points`` over every
+    level — the keyframe path previously paid one eager dispatch per level
+    (5 × ~44 ms on a remote-attached chip).  ``maps``: tuple of the new
+    keyframe's per-level pixel maps.
+    """
+    idep, wei = build_depth_maps(window, model, height, width, num_levels)
+    points = tuple(
+        depth_map_level_points(idep[l], wei[l], maps[l], max_points)
+        for l in range(num_levels)
+    )
+    return idep, wei, points
+
+
 def depth_map_level_points(idepth_map, weight_map, pixel_map, max_points: int):
     """Turn one (idepth, weight) level into fixed-slot frontend LevelPoints.
 

@@ -55,8 +55,7 @@ from dsopp_tpu.tracker.depth_estimation import (
     make_immature_points,
 )
 from dsopp_tpu.tracker.depth_map import (
-    build_depth_maps,
-    depth_map_level_points,
+    build_frontend_state,
     mean_square_optical_flow,
 )
 from dsopp_tpu.tracker.keyframe_strategy import OpticalFlowKeyframeStrategy
@@ -348,55 +347,52 @@ class MonocularTracker:
         cfg = self.config
         pose = SE3(jnp.asarray(pose.q, self.dtype), jnp.asarray(pose.t, self.dtype))
 
-        self.window = push_frame(
-            self.window, pose, maps[0], frame_id=frame_id, fixed=first,
-            affine=self.last_affine if not first else (0.0, 0.0))
         self.track.on_keyframe(frame_id, timestamp)
         self.num_keyframes += 1
         self._kf_id_cache = frame_id
-
-        new_bank = self._make_immature_bank(maps)
-        if self.immature is None:
-            self.immature = jax.tree_util.tree_map(
-                lambda x: jnp.zeros((cfg.num_frame_slots,) + x.shape, x.dtype),
-                new_bank)
-        slot = self.window.frame_count() - 1
-        self.immature = jax.tree_util.tree_map(
-            lambda bank, new: bank.at[slot].set(new), self.immature, new_bank)
-
         self._kf_pose_cache = None
         stats = {}
-        if not first:
-            # activate + solve, counters left on device
-            self.window, self.immature, n_active_dev, n_activated_dev = (
-                self.activator.activate_deferred(
-                    self.window, self.camera, self.immature))
-            self.window, (e_dev, nv_dev) = solve_window(
-                self.window, self.camera, self.pba_opts, readback=False)
-            self.last_affine = self.window.affine()[slot]
 
-            # ONE batched device→host transfer covering every host decision:
-            # solver stats, activation counters, marginalization-policy
-            # inputs, and the snapshot fields of potentially-dropped frames
-            w = self.window
-            poses_mat = w.poses().matrix()
-            batch = dict(
-                energy=e_dev, num_valid=nv_dev,
-                n_active=n_active_dev, n_activated=n_activated_dev,
-                imm_counts=jnp.sum(self.immature.valid, axis=1),
-                frame_valid=w.frame_valid, frame_id=w.frame_id,
-                lm_valid=w.lm_valid, lm_outlier=w.lm_outlier,
-                lm_opt_count=w.lm_opt_count, lm_inliers=w.lm_inliers,
-                res_status=w.res_status, poses_mat=poses_mat,
-                affine=w.affine(), exposure=w.exposure, lm_uv=w.lm_uv,
-                lm_idepth=w.lm_idepth, lm_baseline=w.lm_baseline,
-            )
+        if first:
+            self.window = push_frame(
+                self.window, pose, maps[0], frame_id=frame_id, fixed=True,
+                affine=(0.0, 0.0))
+            new_bank = self._make_immature_bank(maps)
+            if self.immature is None:
+                self.immature = jax.tree_util.tree_map(
+                    lambda x: jnp.zeros((cfg.num_frame_slots,) + x.shape,
+                                        x.dtype), new_bank)
+            slot = self.window.frame_count() - 1
+            self.immature = jax.tree_util.tree_map(
+                lambda bank, new: bank.at[slot].set(new),
+                self.immature, new_bank)
+        else:
+            # push + immature bank + activation + solve + readback bundle
+            # fused into one device program (one dispatch, one transfer)
+            from dsopp_tpu.tracker.fused_keyframe import fused_keyframe_push
+
+            prev_count = self.window.frame_count()
+            if prev_count >= cfg.num_frame_slots:
+                raise ValueError("window full — marginalize before pushing")
+            out = fused_keyframe_push(
+                self.window, self.camera, self.immature, maps[0],
+                pose.q, pose.t, jnp.asarray(self.last_affine, self.dtype),
+                jnp.asarray(frame_id, jnp.int32),
+                jnp.asarray(self.activator.min_distance_to_neighbor,
+                            self.dtype),
+                self.pba_opts, self.activator.refine,
+                self.config.huber_sigma, cfg.immature_per_frame)
+            self.window, self.immature, batch = (
+                out.window, out.immature, dict(out.batch))
+            object.__setattr__(self.window, "_frame_count_cache",
+                               prev_count + 1)
             if cfg.estimate_uncertainty:
                 from dsopp_tpu.solvers.pba import pose_covariances
 
                 _, batch["cov_rel"] = pose_covariances(
                     self.window, self.camera, self.pba_opts)
             host = jax.device_get(batch)
+            self.last_affine = jnp.asarray(host["new_affine"], self.dtype)
             host["poses_t"] = host["poses_mat"][:, :3, 3]
 
             self.activator.note_active_count(int(host["n_active"]))
@@ -437,16 +433,14 @@ class MonocularTracker:
                 self._permute_immature(host["frame_valid"], frame_flags)
 
         self._kf_pose_cache = None
-        # rebuild frontend reference depth maps + per-level points
+        # rebuild frontend reference depth maps + per-level points (fused:
+        # one device program instead of 1 + num_levels dispatches)
         h, w = self.image_shape
-        idep, wei = build_depth_maps(
-            self.window, self.camera, h, w, cfg.pyramid_levels)
+        idep, wei, points = build_frontend_state(
+            self.window, self.camera, tuple(maps), h, w,
+            cfg.pyramid_levels, cfg.frontend_points)
         self.depth_maps = (idep, wei)
-        kf_maps = maps
-        self.level_points = [
-            depth_map_level_points(idep[l], wei[l], kf_maps[l], cfg.frontend_points)
-            for l in range(cfg.pyramid_levels)
-        ]
+        self.level_points = list(points)
         return stats
 
     def _snapshot_marginalized(self, host, frame_flags, timestamp):
