@@ -335,7 +335,8 @@ class LinearSystem(NamedTuple):
 
 
 def _linearize(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
-               opts: PBAOptions, marg_pass: bool = False) -> LinearSystem:
+               opts: PBAOptions, marg_pass: bool = False,
+               with_prior: bool = True) -> LinearSystem:
     """Build the GN system with FEJ Jacobians + current gradients/weights."""
     k, n = window.num_slots, window.num_landmark_slots
     ev = _evaluate(window, model, eps, idepth, lm_mask, opts, with_gradients=True)
@@ -378,9 +379,14 @@ def _linearize(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
 
     h = h.reshape(k * BLOCK, k * BLOCK)
     b = b.reshape(k * BLOCK)
-    h_pr, b_pr = _prior_system(window, eps, opts, marg_pass=marg_pass)
-    h_pose = h + h_pr
-    b_pose = b + b_pr
+    if with_prior:
+        h_pr, b_pr = _prior_system(window, eps, opts, marg_pass=marg_pass)
+        h_pose = h + h_pr
+        b_pose = b + b_pr
+    else:
+        # photometric part only — the sharded path psums this across the
+        # landmark axis and adds the (replicated) priors exactly once
+        h_pose, b_pose = h, b
 
     # landmark Schur quantities (hessian_block_evaluation.hpp:171)
     hpd_ref = jnp.einsum("ijnpa,ijnp->ina", wj_ref, j_d)
@@ -421,13 +427,15 @@ def _energy(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions):
     return (e_land + e_prior + e_marg.astype(e_land.dtype)), n_valid, ev.status_candidate
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def _pba_iteration(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
-                   regularizer, opts: PBAOptions):
-    """One LM iteration: linearize at (eps, idepth), solve, return candidate state."""
+def _solve_step(window: Window, sys: LinearSystem, eps, idepth, regularizer,
+                opts: PBAOptions):
+    """LM step from an assembled system → (eps', idepth', pose_sq, d_sq).
+
+    Factored out of :func:`_pba_iteration` so the shard_map path can reuse
+    it after psum-ing the pose system across the landmark axis (the
+    per-landmark Schur quantities in ``sys`` stay landmark-local)."""
     k = window.num_slots
     dtype = eps.dtype
-    sys = _linearize(window, model, fej, eps, idepth, lm_mask, opts)
 
     lam = regularizer
     s = eps.reshape(-1)
@@ -463,8 +471,17 @@ def _pba_iteration(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
     d_step = jnp.where(jnp.isfinite(d_step), d_step, 0.0)
     idepth_new = idepth + d_step
 
-    step_sq = jnp.sum(step * step) + jnp.sum(d_step * d_step)
-    return eps_new, idepth_new, step_sq
+    return eps_new, idepth_new, jnp.sum(step * step), jnp.sum(d_step * d_step)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _pba_iteration(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
+                   regularizer, opts: PBAOptions):
+    """One LM iteration: linearize at (eps, idepth), solve, return candidate state."""
+    sys = _linearize(window, model, fej, eps, idepth, lm_mask, opts)
+    eps_new, idepth_new, pose_sq, d_sq = _solve_step(
+        window, sys, eps, idepth, regularizer, opts)
+    return eps_new, idepth_new, pose_sq + d_sq
 
 
 @partial(jax.jit, static_argnames=("opts",))
