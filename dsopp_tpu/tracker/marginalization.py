@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax.numpy as jnp
 import numpy as np
 
 from dsopp_tpu.solvers.pba import RES_OK, Window
@@ -27,6 +28,74 @@ from dsopp_tpu.solvers.pba import RES_OK, Window
 KEEP_FRAMES_FROM_END = 2
 MIN_FRAME_AGE = 1
 EPS_DIST = 1e-5
+
+
+def flags_device(window: Window, imm_counts, minimum_size: int,
+                 maximum_size: int, maximum_marginalized_fraction: float):
+    """Device-side (traceable) version of ``SparseMarginalizationStrategy.flags``.
+
+    Same policy as the host implementation below — fixed-shape masked vector
+    math instead of python loops, so the whole keyframe tick can run as one
+    device program (zero host round-trips).  Returns jnp arrays
+    (frame_flags [K] bool, landmark_flags [K,N] bool, new_outliers [K,N] bool).
+    """
+    k = window.num_slots
+    idx = jnp.arange(k)
+    fv = window.frame_valid
+    f = jnp.sum(fv)
+    live = window.lm_valid & ~window.lm_outlier
+    active_counts = jnp.sum(live, axis=1) + jnp.asarray(imm_counts)
+    total_counts = active_counts  # dropped landmarks are gone; host parity
+
+    # 1. frames with too few live points (sequential budget → exclusive cumsum)
+    elig1 = idx < f - KEEP_FRAMES_FROM_END
+    cand1 = (elig1 & (total_counts > 0)
+             & (active_counts
+                < (1.0 - maximum_marginalized_fraction) * total_counts))
+    prior = jnp.cumsum(cand1.astype(jnp.int32)) - cand1.astype(jnp.int32)
+    flag1 = cand1 & ((f - prior) > minimum_size)
+
+    # 2. DSO eq (20) distance score when the window is too large
+    poses_t = window.poses().t
+    ids = window.frame_id
+    newest_id = jnp.take(ids, f - 1)
+    t_new = jnp.take(poses_t, f - 1, axis=0)
+    elig_i = elig1 & (ids + MIN_FRAME_AGE <= newest_id)
+    elig_j = elig1 & (ids + MIN_FRAME_AGE <= newest_id + 1)
+    dist = jnp.linalg.norm(poses_t[:, None, :] - poses_t[None, :, :], axis=-1)
+    inv_sum = jnp.sum(
+        jnp.where(elig_j[None, :] & ~jnp.eye(k, dtype=bool),
+                  1.0 / (EPS_DIST + dist), 0.0), axis=1)
+    score = jnp.sqrt(jnp.linalg.norm(poses_t - t_new[None, :], axis=-1)) * inv_sum
+    score = jnp.where(elig_i, score, 0.0)
+    best_i = jnp.argmax(score)
+    need2 = f > maximum_size + jnp.sum(flag1)
+    flag2 = need2 & (score[best_i] > 0) & (idx == best_i)
+    frame_flags = flag1 | flag2
+
+    # 3. landmark triage
+    tri = ((idx < f - 1) & (f > KEEP_FRAMES_FROM_END))[:, None]
+    status_newest = jnp.take(window.res_status, f - 1, axis=1)  # [K, N]
+    oob = (status_newest != RES_OK) | frame_flags[:, None]
+    min_good = (minimum_size + 1) // 2
+    good_opts = maximum_size * 2
+    valid_marg = (window.lm_inliers >= min_good) & (window.lm_opt_count > good_opts)
+    sufficient = window.lm_opt_count > 0
+    new_outliers = tri & live & oob & ~sufficient
+    lm_flags = tri & live & ~new_outliers & (oob | valid_marg)
+
+    # landmarks of flagged frames must all leave the active set
+    lm_flags = lm_flags | (
+        (idx < f)[:, None] & frame_flags[:, None] & live & ~new_outliers)
+    return frame_flags, lm_flags, new_outliers
+
+
+def kept_first_perm(frame_valid, frame_flags):
+    """Stable kept-frames-first slot permutation (matches the host
+    ``marginalize`` wrapper: kept valid frames in order, then the rest)."""
+    k = frame_valid.shape[0]
+    key = jnp.where(frame_valid & ~frame_flags, 0, 1)
+    return jnp.argsort(key, stable=True).astype(jnp.int32)
 
 
 @dataclass
