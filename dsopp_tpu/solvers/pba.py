@@ -808,6 +808,11 @@ def _marginalize_device(window: Window, model, perm, opts: PBAOptions,
     # flagged landmarks' pose information at the current state
     h_pts, b_pts, e_land = _marg_system_kernel(window, model, opts)
     h_pts = h_pts.astype(ledger_t)
+    # keep the ledger EXACTLY symmetric: einsum contractions are symmetric
+    # only up to rounding, and the frame-elimination pass re-symmetrizes —
+    # folding a symmetric update makes 0.5*(H+Hᵀ) a bitwise no-op, so the
+    # always-on device loop and the flag-gated host path stay bit-identical.
+    h_pts = 0.5 * (h_pts + h_pts.T)
     b_pts = b_pts.astype(ledger_t)
     # DSO eq 8.15: energy of dropped residuals at the linearization
     e_m = e_m + e_land.astype(ledger_t) + s @ (h_pts @ s) - s @ b_pts
