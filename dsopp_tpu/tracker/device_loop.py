@@ -241,7 +241,11 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
 
         st = base._replace(
             window=win, immature=immature, depth_idepth=idep,
-            depth_weight=wei, level_points=points, min_distance=min_distance)
+            depth_weight=wei, level_points=points, min_distance=min_distance,
+            # host parity: after a keyframe solve the frontend carries the
+            # new keyframe's POST-solve affine (monocular.py _push_keyframe
+            # sets last_affine = batch["new_affine"])
+            last_affine=jnp.asarray(batch["new_affine"], dtype))
         diag = _diag(True, min_distance, batch["energy"], batch["num_valid"],
                      batch["n_active"], batch["n_activated"], **snap)
         return st, diag
