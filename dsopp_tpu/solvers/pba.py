@@ -43,10 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsopp_tpu.core.interpolate import sample
 from dsopp_tpu.core.lie import SE3
 from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
+from dsopp_tpu.ops import pack_corners, sample_packed
 from dsopp_tpu.solvers.measure import huber_energy_weight
 
 # residual connection statuses (reference track::PointConnectionStatus)
@@ -246,8 +246,18 @@ def _pair_mask(window: Window):
     return fv[:, None] & fv[None, :] & ~eye
 
 
+def pack_window_maps(window: Window):
+    """Corner-pack every frame slot's pixel map → [K, H*W, 12].
+
+    Done ONCE per solve (outside the LM loop) — the packed layout turns the
+    4-corner x 3-channel scattered gather of ``_evaluate`` into one row
+    gather per sample point (dsopp_tpu.ops.sample, 4.5x measured).
+    """
+    return jax.vmap(pack_corners)(window.maps)
+
+
 def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
-              with_gradients: bool) -> Evaluation:
+              with_gradients: bool, packed_maps=None) -> Evaluation:
     """Residuals of every (anchor i, target j, landmark n) at state (eps, idepth)."""
     t_ji = _relative_poses(window.t_lin_q, window.t_lin_t, eps[:, :6])
     affine = window.affine0 + eps[:, 6:]
@@ -260,12 +270,16 @@ def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
     t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
     rp = reproject(model, model, uv, d, t_b)                       # [K,K,N,P]
 
-    # sample target maps: vmap over the target axis j
-    def sample_target(tmap, uv_t):
-        return sample(tmap, uv_t)
+    # sample target maps: vmap over the target axis j (packed row gather)
+    if packed_maps is None:
+        packed_maps = pack_window_maps(window)
+    h, w = window.maps.shape[-2:]
+
+    def sample_target(packed, uv_t):
+        return sample_packed(packed, uv_t, h, w)
 
     vals, inside = jax.vmap(sample_target, in_axes=(0, 1), out_axes=1)(
-        window.maps, rp.uv
+        packed_maps, rp.uv
     )                                                              # [K,K,N,P,3]
 
     corrected_ref = scale[:, :, None, None] * (
