@@ -350,10 +350,24 @@ class LinearSystem(NamedTuple):
 
 def _linearize(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
                opts: PBAOptions, marg_pass: bool = False,
-               with_prior: bool = True) -> LinearSystem:
+               with_prior: bool = True,
+               packed_maps=None) -> LinearSystem:
     """Build the GN system with FEJ Jacobians + current gradients/weights."""
+    ev = _evaluate(window, model, eps, idepth, lm_mask, opts,
+                   with_gradients=True, packed_maps=packed_maps)
+    return _linearize_from_ev(window, fej, ev, eps, opts,
+                              marg_pass=marg_pass, with_prior=with_prior)
+
+
+def _linearize_from_ev(window: Window, fej: FEJCache, ev: Evaluation, eps,
+                       opts: PBAOptions, marg_pass: bool = False,
+                       with_prior: bool = True) -> LinearSystem:
+    """GN system from an already-computed residual evaluation.
+
+    The solve loop evaluates residuals once per LM iteration (the trial
+    energy pass) and feeds the SAME evaluation into the next linearize —
+    halving the gather-heavy evaluate passes vs evaluate-per-linearize."""
     k, n = window.num_slots, window.num_landmark_slots
-    ev = _evaluate(window, model, eps, idepth, lm_mask, opts, with_gradients=True)
 
     ok = ev.ok & fej.geom_valid
     w = jnp.where(ok, ev.weight, 0.0)
@@ -426,9 +440,8 @@ def _linearize(window: Window, model, fej: FEJCache, eps, idepth, lm_mask,
     return LinearSystem(h_pose, b_pose, h_schur, b_schur, hpd, inv_hdd, b_d)
 
 
-def _energy(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions):
-    """Total energy: landmarks + affine priors + marginalized quadratic."""
-    ev = _evaluate(window, model, eps, idepth, lm_mask, opts, with_gradients=False)
+def _energy_from_ev(window: Window, ev: Evaluation, eps, opts: PBAOptions):
+    """Total energy from an existing evaluation (landmarks + priors + ledger)."""
     e_land = jnp.sum(ev.energy_patch)
     n_valid = jnp.sum(ev.energy_patch > 0)
     e_prior = _prior_energy(window, eps, opts)
@@ -438,7 +451,16 @@ def _energy(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions):
         + jnp.dot(window.b_marg, s)
         + 0.5 * jnp.dot(s, window.h_marg @ s)
     )
-    return (e_land + e_prior + e_marg.astype(e_land.dtype)), n_valid, ev.status_candidate
+    return (e_land + e_prior + e_marg.astype(e_land.dtype)), n_valid
+
+
+def _energy(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
+            packed_maps=None):
+    """Total energy: landmarks + affine priors + marginalized quadratic."""
+    ev = _evaluate(window, model, eps, idepth, lm_mask, opts,
+                   with_gradients=False, packed_maps=packed_maps)
+    e, n_valid = _energy_from_ev(window, ev, eps, opts)
+    return e, n_valid, ev.status_candidate
 
 
 def _solve_step(window: Window, sys: LinearSystem, eps, idepth, regularizer,
@@ -545,35 +567,52 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
     lm_mask = active_lm_mask(window)
     ledger_empty = jnp.max(jnp.abs(window.h_marg)) == 0.0
     dtype = window.eps.dtype
+    # corner-pack the window maps ONCE per solve; every residual pass in the
+    # LM loop is then a single row gather per sample (ops/sample.py)
+    packed = pack_window_maps(window)
 
     def with_state(tq, tt, ab0, idep_lin, status):
         return dataclasses.replace(
             window, t_lin_q=tq, t_lin_t=tt, affine0=ab0,
             lm_idepth=idep_lin, res_status=status)
 
-    e0, n0, _ = _energy(window, model, window.eps, window.lm_idepth,
-                        lm_mask, opts)
+    # one evaluation WITH gradients: feeds both the initial energy and the
+    # first linearization (the gather already fetches all 3 channels)
+    ev0 = _evaluate(window, model, window.eps, window.lm_idepth, lm_mask,
+                    opts, with_gradients=True, packed_maps=packed)
+    e0, n0 = _energy_from_ev(window, ev0, window.eps, opts)
+    fej0 = _fej_cache(window, model)
 
-    # carry: linearization state + increments + loop bookkeeping
+    # carry: linearization state + increments + carried evaluation/FEJ
     carry0 = (
         window.t_lin_q, window.t_lin_t, window.affine0,   # linearization
         window.eps, window.lm_idepth, window.lm_idepth,   # eps, idepth, lin_idepth
         window.res_status, e0, n0,
         jnp.asarray(opts.initial_regularizer, dtype),
         jnp.asarray(0, jnp.int32), (n0 == 0),
+        ev0, fej0, jnp.asarray(False),                    # ev, fej, fej_stale
     )
 
     def cond(c):
         return (c[10] < opts.max_iterations) & ~c[11]
 
     def body(c):
-        (tq, tt, ab0, eps, idepth, lin_idepth, status, e, n, lam, it, done) = c
+        (tq, tt, ab0, eps, idepth, lin_idepth, status, e, n, lam, it, done,
+         ev, fej, fej_stale) = c
         win = with_state(tq, tt, ab0, lin_idepth, status)
-        fej = _fej_cache(win, model)
-        eps_new, idepth_new, step_sq = _pba_iteration(
-            win, model, fej, eps, idepth, lm_mask, lam, opts)
-        e_new, n_new, cand = _energy(
-            win, model, eps_new, idepth_new, lm_mask, opts)
+        # FEJ geometry depends only on the linearization state — recompute
+        # only after a relinearization changed it (bootstrap phase); with a
+        # non-empty ledger it is computed exactly once, before the loop.
+        fej = jax.lax.cond(
+            fej_stale, lambda w: _fej_cache(w, model), lambda _: fej, win)
+        sys = _linearize_from_ev(win, fej, ev, eps, opts)
+        eps_new, idepth_new, pose_sq, d_sq = _solve_step(
+            win, sys, eps, idepth, lam, opts)
+        step_sq = pose_sq + d_sq
+        ev_new = _evaluate(win, model, eps_new, idepth_new, lm_mask, opts,
+                           with_gradients=True, packed_maps=packed)
+        e_new, n_new = _energy_from_ev(win, ev_new, eps_new, opts)
+        cand = ev_new.status_candidate
 
         ftol = jnp.abs(e - e_new) / jnp.maximum(e, 1e-30) < opts.function_tolerance
         ok = (n_new > 0) & jnp.isfinite(e_new)
@@ -590,8 +629,15 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
         e = jnp.where(accept, e_new, e)
         n = jnp.where(accept, n_new, n)
         lam = jnp.where(accept, lam / opts.reg_decrease, lam * opts.reg_increase)
+        # the carried evaluation matches the carried (eps, idepth, status):
+        # the trial evaluation's ok-mask already equals a fresh evaluation
+        # under the committed statuses (OOB candidates have geom_ok=False)
+        ev = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), ev_new, ev)
 
-        # bootstrap relinearization: fold eps into the linearization point
+        # bootstrap relinearization: fold eps into the linearization point.
+        # residuals/energies are invariant under the re-parameterization, so
+        # the carried evaluation stays valid; only the FEJ geometry goes stale
         relin = accept & ledger_empty & ~done_new
         t_new = SE3(tq, tt) @ SE3.exp(eps[:, :6])
         tq = jnp.where(relin, t_new.q, tq)
@@ -600,10 +646,10 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
         lin_idepth = jnp.where(relin, idepth, lin_idepth)
         eps = jnp.where(relin, jnp.zeros_like(eps), eps)
         return (tq, tt, ab0, eps, idepth, lin_idepth, status, e, n, lam,
-                it + 1, done_new)
+                it + 1, done_new, ev, fej, relin)
 
-    (tq, tt, ab0, eps, idepth, _lin, status, e, n, _lam, _it, _done) = \
-        jax.lax.while_loop(cond, body, carry0)
+    (tq, tt, ab0, eps, idepth, _lin, status, e, n, _lam, _it, _done,
+     _ev, _fej, _stale) = jax.lax.while_loop(cond, body, carry0)
 
     out = dataclasses.replace(
         window, t_lin_q=tq, t_lin_t=tt, affine0=ab0, eps=eps,
@@ -622,7 +668,7 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
     )
 
     status, baseline, inliers, outlier, opt_count = _point_status_kernel(
-        out, model, opts)
+        out, model, opts, packed_maps=packed)
     out = dataclasses.replace(
         out, res_status=status, lm_baseline=baseline,
         lm_inliers=inliers, lm_outlier=outlier, lm_opt_count=opt_count)
@@ -709,10 +755,11 @@ def _relinearize_last(window: Window) -> Window:
 
 
 @partial(jax.jit, static_argnames=("opts",))
-def _point_status_kernel(window: Window, model, opts: PBAOptions):
+def _point_status_kernel(window: Window, model, opts: PBAOptions,
+                         packed_maps=None):
     lm_mask = active_lm_mask(window)
     ev = _evaluate(window, model, window.eps, window.lm_idepth, lm_mask, opts,
-                   with_gradients=False)
+                   with_gradients=False, packed_maps=packed_maps)
     e = ev.energy_patch
     ok = ev.ok
     # 75th percentile of OK residual energies + σ²/2 (updatePointStatuses)

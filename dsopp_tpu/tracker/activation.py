@@ -27,11 +27,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsopp_tpu.core.interpolate import sample
 from dsopp_tpu.core.lie import SE3
 from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
+from dsopp_tpu.ops import sample_packed
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
-from dsopp_tpu.solvers.pba import RES_OK, Window, _relative_poses, active_lm_mask
+from dsopp_tpu.solvers.pba import (
+    RES_OK,
+    Window,
+    _relative_poses,
+    active_lm_mask,
+    pack_window_maps,
+)
 from dsopp_tpu.tracker.depth_estimation import (
     STATUS_GOOD,
     STATUS_ILL_CONDITIONED,
@@ -148,12 +154,16 @@ def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
     corrected = scale[:, :, None, None] * (
         imm.patch[:, None] - affine[:, None, None, None, 1])
 
+    packed_maps = pack_window_maps(window)                   # [K, H*W, 12]
+    h_px, w_px = window.maps.shape[-2:]
+
     def eval_full(idepth):
         rj = reproject_jacobian(
             model, model, pattern[:, None], idepth[:, None, :, None], t_b)
         vals, inside = jax.vmap(
-            lambda m, uv: sample(m, uv), in_axes=(0, 1), out_axes=1
-        )(window.maps, rj.uv)                                # [K,K,N,P,3]
+            lambda m, uv: sample_packed(m, uv, h_px, w_px),
+            in_axes=(0, 1), out_axes=1,
+        )(packed_maps, rj.uv)                                # [K,K,N,P,3]
         ok = jnp.all(rj.valid & inside, axis=-1) & pair[:, :, None]
 
         r = (vals[..., 0] - affine[None, :, None, None, 1]) - corrected

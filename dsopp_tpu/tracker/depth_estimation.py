@@ -30,9 +30,13 @@ import jax
 import jax.numpy as jnp
 
 from dsopp_tpu.core.camera import MIN_DEPTH, valid_idepth
-from dsopp_tpu.core.interpolate import sample
 from dsopp_tpu.core.lie import SE3, quat_rotate
 from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
+from dsopp_tpu.ops import (
+    pack_corners,
+    sample_packed,
+    sample_packed_intensity,
+)
 
 # ImmatureStatus (reference immature_tracking_landmark.hpp:14-23)
 STATUS_GOOD = 0
@@ -119,6 +123,12 @@ def estimate_depths(
     n = points.uv.shape[0]
     s = num_samples
     dtype = points.uv.dtype
+    h_px, w_px = target_map.shape[-2:]
+    # corner-pack the target map once; the SSD sweep (the N·S·P bulk of the
+    # gathers) only reads intensity, so it uses the 4-wide intensity rows
+    # (depth_estimation.cpp:36-77 samples intensities only)
+    packed = pack_corners(target_map)
+    packed_i = packed.reshape(h_px * w_px, 4, target_map.shape[0])[..., 0]
 
     active = points.valid & (
         (points.status == STATUS_GOOD)
@@ -180,8 +190,8 @@ def estimate_depths(
     pr_p = quat_rotate(t_t_r.q, ray_p)
     q_sp = pr_p[:, None, :, :] + rho_s[:, :, None, None] * t[:, None, None, :]  # [N,S,P,3]
     uv_sp, valid_sp = _project_scaled(model, q_sp)
-    target_vals, inside_sp = sample(target_map, uv_sp)         # [N,S,P,3]
-    intensity_sp = target_vals[..., 0]
+    intensity_sp, inside_sp = sample_packed_intensity(
+        packed_i, uv_sp, h_px, w_px)                           # [N,S,P]
 
     scale = exposure_ratio * jnp.exp(affine_tgt[0] - affine_ref[0])
     corrected_ref = scale * (points.patch - affine_ref[1])     # [N, P]
@@ -216,7 +226,7 @@ def estimate_depths(
     def gn_iter(carry, _):
         delta, e_best, best_delta = carry
         pat = pattern_best - delta[:, None, None] * dir_unit[:, None, :]
-        vals, inside = sample(target_map, pat)
+        vals, inside = sample_packed(packed, pat, h_px, w_px)
         it, gx, gy = vals[..., 0], vals[..., 1], vals[..., 2]
         r = (it - affine_tgt[1]) - corrected_ref
         w = huber_sigma / jnp.maximum(jnp.abs(r), huber_sigma)
