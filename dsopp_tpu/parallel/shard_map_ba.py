@@ -57,6 +57,7 @@ def _window_specs() -> Window:
         lm_opt_count=lm2, lm_baseline=lm2,
         res_status=res,
         h_marg=P(), b_marg=P(), energy_marg=P(),
+        h_marg_lo=P(), b_marg_lo=P(), energy_marg_lo=P(),
         maps=frame,
     )
 
@@ -119,9 +120,16 @@ def pba_iteration_shard_map(window: Window, model, regularizer,
 
 def _replicated_energy(window: Window, eps, opts: PBAOptions):
     """Prior + marginalized-quadratic energy (identical on every shard)."""
+    from dsopp_tpu.core import df64
     from dsopp_tpu.solvers.pba import _prior_energy
 
-    s = eps.reshape(-1).astype(jnp.float64)
-    e_marg = (window.energy_marg + jnp.dot(window.b_marg, s)
-              + 0.5 * jnp.dot(s, window.h_marg @ s))
-    return _prior_energy(window, eps, opts) + e_marg.astype(eps.dtype)
+    # same compensated formula as pba._energy_from_ev for bitwise parity
+    s = eps.reshape(-1)
+    hs_hi, hs_lo = df64.df_matvec(window.h_marg, window.h_marg_lo, s)
+    bs_hi, bs_lo = df64.df_dot(window.b_marg, window.b_marg_lo, s)
+    shs_hi, shs_lo = df64.df_dot(hs_hi, hs_lo, s)
+    e_hi, e_lo = df64.df_add(window.energy_marg, window.energy_marg_lo,
+                             bs_hi, bs_lo)
+    e_hi, e_lo = df64.df_add(e_hi, e_lo, 0.5 * shs_hi, 0.5 * shs_lo)
+    return _prior_energy(window, eps, opts) + df64.value(
+        e_hi, e_lo).astype(eps.dtype)

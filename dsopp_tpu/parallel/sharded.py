@@ -62,6 +62,7 @@ def window_pspec(batched: bool = True) -> Window:
         lm_opt_count=lm2, lm_baseline=lm2,
         res_status=res,
         h_marg=spec(), b_marg=spec(), energy_marg=spec(),
+        h_marg_lo=spec(), b_marg_lo=spec(), energy_marg_lo=spec(),
         maps=frame,
     )
 

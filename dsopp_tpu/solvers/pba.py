@@ -21,7 +21,8 @@ Semantics kept from the reference:
 * LM: force-accept for ≥3 of max 7 iterations, constant regularizer
   λ = 1/1e5; step solves (H_pose+prior + H_marg + λ·diag − H_schur/(1+λ));
 * priors: affine-brightness (1e12, 1e8), fixed-first-frame 1e16;
-* marginalization ledger (H_m, b_m, E_m) in float64 on host, updated per
+* marginalization ledger (H_m, b_m, E_m) in compensated double-float
+  pairs on device (core/df64.py; the reference keeps it in f64), updated per
   DSO eq 8.15/8.19 with b rebased at the current state, frames Schur-
   eliminated via reduce_system.
 
@@ -43,6 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dsopp_tpu.core import df64
 from dsopp_tpu.core.lie import SE3
 from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
@@ -111,10 +113,16 @@ class Window:
     # residual statuses [K_anchor, K_target, N]
     res_status: jnp.ndarray   # int32
 
-    # marginalization ledger (float64; small)
-    h_marg: jnp.ndarray       # [K*8, K*8]
-    b_marg: jnp.ndarray       # [K*8]
-    energy_marg: jnp.ndarray  # scalar
+    # marginalization ledger, double-float pairs (core/df64.py): the
+    # reference keeps this system in double
+    # (eigen_photometric_bundle_adjustment_problem.hpp `system_marginalized_`);
+    # TPUs have no f64, so hi+lo compensated pairs carry the extra precision.
+    h_marg: jnp.ndarray       # [K*8, K*8] (hi)
+    b_marg: jnp.ndarray       # [K*8] (hi)
+    energy_marg: jnp.ndarray  # scalar (hi)
+    h_marg_lo: jnp.ndarray    # [K*8, K*8]
+    b_marg_lo: jnp.ndarray    # [K*8]
+    energy_marg_lo: jnp.ndarray  # scalar
 
     # per-frame level-0 pixel maps [K, 3, H, W]
     maps: jnp.ndarray
@@ -170,9 +178,12 @@ def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float
         lm_opt_count=jnp.zeros((k, n), jnp.int32),
         lm_baseline=jnp.zeros((k, n), dtype),
         res_status=jnp.zeros((k, k, n), jnp.int32),
-        h_marg=jnp.zeros((k * BLOCK, k * BLOCK), jnp.float64),
-        b_marg=jnp.zeros((k * BLOCK,), jnp.float64),
-        energy_marg=jnp.zeros((), jnp.float64),
+        h_marg=jnp.zeros((k * BLOCK, k * BLOCK), dtype),
+        b_marg=jnp.zeros((k * BLOCK,), dtype),
+        energy_marg=jnp.zeros((), dtype),
+        h_marg_lo=jnp.zeros((k * BLOCK, k * BLOCK), dtype),
+        b_marg_lo=jnp.zeros((k * BLOCK,), dtype),
+        energy_marg_lo=jnp.zeros((), dtype),
         maps=jnp.zeros((k,) + tuple(map_shape), dtype),
     )
 
@@ -445,12 +456,17 @@ def _energy_from_ev(window: Window, ev: Evaluation, eps, opts: PBAOptions):
     e_land = jnp.sum(ev.energy_patch)
     n_valid = jnp.sum(ev.energy_patch > 0)
     e_prior = _prior_energy(window, eps, opts)
-    s = eps.reshape(-1).astype(jnp.float64)
-    e_marg = (
-        window.energy_marg
-        + jnp.dot(window.b_marg, s)
-        + 0.5 * jnp.dot(s, window.h_marg @ s)
-    )
+    # DSO eq 8.19 prior quadratic, evaluated in pair precision: b·ε and
+    # ½εᵀHε cancel against E_m (they were rebased against each other at
+    # marginalization time), so the compensated terms matter here.
+    s = eps.reshape(-1)
+    hs_hi, hs_lo = df64.df_matvec(window.h_marg, window.h_marg_lo, s)
+    bs_hi, bs_lo = df64.df_dot(window.b_marg, window.b_marg_lo, s)
+    shs_hi, shs_lo = df64.df_dot(hs_hi, hs_lo, s)
+    e_hi, e_lo = df64.df_add(window.energy_marg, window.energy_marg_lo,
+                             bs_hi, bs_lo)
+    e_hi, e_lo = df64.df_add(e_hi, e_lo, 0.5 * shs_hi, 0.5 * shs_lo)
+    e_marg = df64.value(e_hi, e_lo)
     return (e_land + e_prior + e_marg.astype(e_land.dtype)), n_valid
 
 
@@ -475,23 +491,27 @@ def _solve_step(window: Window, sys: LinearSystem, eps, idepth, regularizer,
 
     lam = regularizer
     s = eps.reshape(-1)
+    # the rebased prior gradient b_m + H_m·s is a cancelling difference of
+    # large terms — evaluate it with the compensated ledger pair
+    hs_hi, hs_lo = df64.df_matvec(window.h_marg, window.h_marg_lo, s)
+    b_prior = df64.value(*df64.df_add(window.b_marg, window.b_marg_lo,
+                                      hs_hi, hs_lo))
     h_full = (
-        sys.h_pose.astype(jnp.float64)
-        + window.h_marg
-        + jnp.diag(jnp.diagonal(sys.h_pose).astype(jnp.float64) * lam)
-        - sys.h_schur.astype(jnp.float64) / (1.0 + lam)
+        sys.h_pose
+        + (window.h_marg + window.h_marg_lo)
+        + jnp.diag(jnp.diagonal(sys.h_pose) * lam)
+        - sys.h_schur / (1.0 + lam)
     )
     b_full = (
-        sys.b_pose.astype(jnp.float64)
-        - sys.b_schur.astype(jnp.float64) / (1.0 + lam)
-        + window.b_marg
-        + window.h_marg @ s.astype(jnp.float64)
+        sys.b_pose
+        - sys.b_schur / (1.0 + lam)
+        + b_prior
     )
     # dead frame slots have zero rows: add identity so the solve is well-posed
     slot_live = jnp.repeat(window.frame_valid, BLOCK)
     h_full = jnp.where(
         slot_live[:, None] & slot_live[None, :], h_full,
-        jnp.eye(k * BLOCK, dtype=jnp.float64))
+        jnp.eye(k * BLOCK, dtype=h_full.dtype))
     b_full = jnp.where(slot_live, b_full, 0.0)
 
     step = -jnp.linalg.solve(h_full, b_full[:, None])[:, 0].astype(dtype)
@@ -711,7 +731,8 @@ def pose_covariances(window: Window, model, opts: PBAOptions = PBAOptions()):
     fej = _fej_cache(window, model)
     sys = _linearize(window, model, fej, window.eps, window.lm_idepth,
                      lm_mask, opts)
-    h = (sys.h_pose - sys.h_schur).astype(window.h_marg.dtype) + window.h_marg
+    h = ((sys.h_pose - sys.h_schur).astype(window.h_marg.dtype)
+         + window.h_marg + window.h_marg_lo)
     # dead slots get a huge diagonal so their (zero-information) blocks read
     # as ~0 covariance and never masquerade as the scale nullspace
     live = jnp.repeat(window.frame_valid, BLOCK)
@@ -861,9 +882,9 @@ def _marginalize_device(window: Window, model, perm, opts: PBAOptions,
     shapes, no host round-trips.
     """
     ledger_t = window.h_marg.dtype
-    h_m = window.h_marg
-    b_m = window.b_marg
-    e_m = window.energy_marg
+    h_m, h_l = window.h_marg, window.h_marg_lo
+    b_m, b_l = window.b_marg, window.b_marg_lo
+    e_m, e_l = window.energy_marg, window.energy_marg_lo
     s = window.eps.reshape(-1).astype(ledger_t)
 
     # flagged landmarks' pose information at the current state
@@ -875,10 +896,18 @@ def _marginalize_device(window: Window, model, perm, opts: PBAOptions,
     # always-on device loop and the flag-gated host path stay bit-identical.
     h_pts = 0.5 * (h_pts + h_pts.T)
     b_pts = b_pts.astype(ledger_t)
-    # DSO eq 8.15: energy of dropped residuals at the linearization
-    e_m = e_m + e_land.astype(ledger_t) + s @ (h_pts @ s) - s @ b_pts
-    h_m = h_m + h_pts
-    b_m = b_m + (b_pts - h_pts @ s)
+    # DSO eq 8.15: energy of dropped residuals at the linearization.
+    # Fresh contributions are computed in working precision; the LEDGER
+    # accumulation runs in compensated pairs (two_sum) so hundreds of folds
+    # do not lose the small updates against the grown prior.
+    zs = jnp.zeros_like(s)
+    hs_hi, hs_lo = df64.df_matvec(h_pts, jnp.zeros_like(h_pts), s)
+    e_m, e_l = df64.df_add_flat(e_m, e_l,
+                                e_land.astype(ledger_t)
+                                + s @ (h_pts @ s) - s @ b_pts)
+    h_m, h_l = df64.df_add_flat(h_m, h_l, h_pts)
+    b_m, b_l = df64.df_add(b_m, b_l, *df64.df_add(b_pts, zs,
+                                                  -hs_hi, -hs_lo))
 
     window = dataclasses.replace(
         window,
@@ -891,32 +920,59 @@ def _marginalize_device(window: Window, model, perm, opts: PBAOptions,
         h_pr, b_pr = _prior_system(window, window.eps, opts, marg_pass=True)
         h_pr = h_pr.astype(ledger_t)
         b_pr = b_pr.astype(ledger_t)
-        h_m = h_m + h_pr
-        b_m = b_m + (b_pr - h_pr @ s)
+        h_m, h_l = df64.df_add_flat(h_m, h_l, h_pr)
+        prs_hi, prs_lo = df64.df_matvec(h_pr, jnp.zeros_like(h_pr), s)
+        b_m, b_l = df64.df_add(b_m, b_l, *df64.df_add(b_pr, zs,
+                                                      -prs_hi, -prs_lo))
 
-        # Schur-eliminate flagged frame blocks (reduce_system) with masks
+        # Schur-eliminate flagged frame blocks (reduce_system) with masks,
+        # in pair precision: H_ee is inverted in working precision and
+        # refined by one Newton step against the pair-precision residual,
+        # then the correction products run through compensated matmuls.
         kb = window.num_slots * BLOCK
         marg = jnp.repeat(window.frame_marg & window.frame_valid, BLOCK)
         keep = jnp.repeat(window.frame_valid & ~window.frame_marg, BLOCK)
         eye = jnp.eye(kb, dtype=ledger_t)
-        h_ee = jnp.where(marg[:, None] & marg[None, :], h_m, eye)
-        h_ee_inv = jnp.linalg.pinv(h_ee, hermitian=True)
-        h_ke = jnp.where(keep[:, None] & marg[None, :], h_m, 0.0)
-        corr = h_ke @ h_ee_inv
-        h_kk = jnp.where(keep[:, None] & keep[None, :], h_m, 0.0) - corr @ h_ke.T
-        b_k = jnp.where(keep, b_m, 0.0) - corr @ jnp.where(marg, b_m, 0.0)
-        h_kk = 0.5 * (h_kk + h_kk.T)
+        mm = marg[:, None] & marg[None, :]
+        h_ee = jnp.where(mm, h_m, eye)
+        h_ee_lo = jnp.where(mm, h_l, 0.0)
+        x0 = jnp.linalg.pinv(h_ee, hermitian=True)
+        # Newton refinement: X₁ = X₀ + X₀(I − A X₀), residual in pairs
+        ax_hi, ax_lo = df64.df_matmul(h_ee, h_ee_lo, x0, jnp.zeros_like(x0))
+        resid = (eye - ax_hi) - ax_lo
+        h_ee_inv = x0 + x0 @ resid
+
+        km = keep[:, None] & marg[None, :]
+        h_ke = jnp.where(km, h_m, 0.0)
+        h_ke_lo = jnp.where(km, h_l, 0.0)
+        corr_hi, corr_lo = df64.df_matmul(h_ke, h_ke_lo, h_ee_inv,
+                                          jnp.zeros_like(h_ee_inv))
+        prod_hi, prod_lo = df64.df_matmul(corr_hi, corr_lo, h_ke.T, h_ke_lo.T)
+        kk = keep[:, None] & keep[None, :]
+        h_kk, h_kk_lo = df64.df_add(jnp.where(kk, h_m, 0.0),
+                                    jnp.where(kk, h_l, 0.0),
+                                    -prod_hi, -prod_lo)
+        b_e = jnp.where(marg, b_m, 0.0)
+        b_e_lo = jnp.where(marg, b_l, 0.0)
+        cb_hi, cb_lo = df64.df_matvec(corr_hi, corr_lo, b_e)
+        cb_lo = cb_lo + corr_hi @ b_e_lo
+        b_k, b_k_lo = df64.df_add(jnp.where(keep, b_m, 0.0),
+                                  jnp.where(keep, b_l, 0.0),
+                                  -cb_hi, -cb_lo)
+        h_kk, h_kk_lo = df64.df_scale(*df64.df_add(h_kk, h_kk_lo,
+                                                   h_kk.T, h_kk_lo.T), 0.5)
 
         # compact: permute frame blocks so kept frames occupy the low slots
         idx = (perm[:, None] * BLOCK
                + jnp.arange(BLOCK, dtype=perm.dtype)[None, :]).reshape(-1)
-        h_m = h_kk[idx][:, idx]
-        b_m = b_k[idx]
+        h_m, h_l = h_kk[idx][:, idx], h_kk_lo[idx][:, idx]
+        b_m, b_l = b_k[idx], b_k_lo[idx]
 
         window = _permute_window(
             window, perm, window.frame_marg & window.frame_valid)
 
-    return dataclasses.replace(window, h_marg=h_m, b_marg=b_m, energy_marg=e_m)
+    return dataclasses.replace(window, h_marg=h_m, b_marg=b_m, energy_marg=e_m,
+                               h_marg_lo=h_l, b_marg_lo=b_l, energy_marg_lo=e_l)
 
 
 def marginalize(window: Window, model, opts: PBAOptions = PBAOptions(),

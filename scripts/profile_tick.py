@@ -46,7 +46,7 @@ def main():
     print(f"devices: {jax.devices()}")
     t0 = time.time()
     seq = render_sequence(num_frames=args.frames, height=h, width=w,
-                          focal=520.0, advance=0.08)
+                          focal=520.0, advance=0.08, backend="jax")
     print(f"render: {time.time()-t0:.1f}s")
 
     cam = Pinhole.create((float(w), float(h)), (520.0, 520.0),
