@@ -24,7 +24,9 @@ vectorizes on the VPU with no host round-trips and no x64 flag.
 All functions operate on (hi, lo) array pairs of equal shape.  The same code
 runs in float64 pairs under the CPU x64 oracle, where it is effectively
 quad-precision — the cross-precision drift test in
-tests/solvers/test_ledger_drift.py exploits that.
+tests/core/test_df64.py (test_ledger_drift_pairs_beat_plain_f32) exploits
+that, and tests/tracker/test_ledger_drift_tracker.py gates pose drift of the
+f32+df64 tracker path against the CPU-x64 oracle over a long sequence.
 """
 
 from __future__ import annotations

@@ -160,11 +160,22 @@ class Camera:
                 vignetting, (img.shape[1], img.shape[0]),
                 interpolation=cv2.INTER_AREA)
             self.settings.vignetting = vignetting
-        corrected = correct_image(
-            jnp.asarray(img),
-            jnp.asarray(self.settings.inverse_response),
-            None if vignetting is None
-            else jnp.asarray(vignetting, jnp.float32),
-        )
+        # photometric correction: native C++ path when available (host-side
+        # prep that overlaps device compute; dsopp_tpu/native), JAX fallback
+        from dsopp_tpu import native
+
+        if native.available() and isinstance(img, np.ndarray):
+            corrected = jnp.asarray(native.photometric_correct(
+                np.asarray(img, np.float32),
+                np.asarray(self.settings.inverse_response, np.float32),
+                None if vignetting is None
+                else np.asarray(vignetting, np.float32)))
+        else:
+            corrected = correct_image(
+                jnp.asarray(img),
+                jnp.asarray(self.settings.inverse_response),
+                None if vignetting is None
+                else jnp.asarray(vignetting, jnp.float32),
+            )
         return CameraDataFrame(frame.frame_id, frame.timestamp,
                                corrected, frame.exposure)

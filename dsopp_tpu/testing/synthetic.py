@@ -111,7 +111,7 @@ def _render_view(camera: Pinhole, t_wc: SE3, planes, height: int, width: int):
                          np.arange(width, dtype=np.float64), indexing="ij")
     uv = jnp.asarray(np.stack([xs, ys], axis=-1))
     rays_c = np.asarray(camera.unproject(uv))          # z=1 rays, camera frame
-    r_wc = np.asarray(SE3(t_wc.q, jnp.zeros(3, jnp.float64)).matrix())[:3, :3]
+    r_wc = np.asarray(SE3(t_wc.q, jnp.zeros_like(t_wc.t)).matrix())[:3, :3]
     rays_w = rays_c @ r_wc.T
     origin = np.asarray(t_wc.t)
 
@@ -142,6 +142,21 @@ def _render_view(camera: Pinhole, t_wc: SE3, planes, height: int, width: int):
 # Trajectory + sequence
 # ---------------------------------------------------------------------------
 
+def _so3_exp_quat_np(omega):
+    """Rotation-only exp in NumPy f64 → quaternion [w, x, y, z].
+
+    Host-side so the fixture never requests f64 from JAX (which warns and
+    truncates on TPU where x64 is off); under the CPU x64 oracle the
+    resulting SE3 keeps full f64 precision.
+    """
+    omega = np.asarray(omega, np.float64)
+    theta = np.linalg.norm(omega)
+    if theta < 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    axis = omega / theta
+    return np.concatenate([[np.cos(0.5 * theta)], np.sin(0.5 * theta) * axis])
+
+
 def corridor_trajectory(num_frames: int, advance: float = 0.08):
     """Smooth forward flight with lateral sinusoid and yaw/roll wobble."""
     poses = []
@@ -152,10 +167,10 @@ def corridor_trajectory(num_frames: int, advance: float = 0.08):
         yaw = 0.06 * np.sin(0.041 * i + 0.5)
         pitch = 0.025 * np.sin(0.071 * i)
         roll = 0.02 * np.sin(0.031 * i + 2.0)
-        xi = jnp.asarray([x, y, z, pitch, yaw, roll], dtype=jnp.float64)
-        # split translation/rotation so translation is exact (not V-coupled)
-        rot = SE3.exp(jnp.concatenate([jnp.zeros(3, jnp.float64), xi[3:]]))
-        poses.append(SE3(rot.q, xi[:3]))
+        # translation/rotation split so translation is exact (not V-coupled);
+        # the quaternion is computed host-side in f64 (see _so3_exp_quat_np)
+        q = _so3_exp_quat_np([pitch, yaw, roll])
+        poses.append(SE3(jnp.asarray(q), jnp.asarray(np.array([x, y, z]))))
     return poses
 
 
@@ -268,12 +283,17 @@ def render_sequence(
     under /root/.cache/dsopp_render so repeat bench runs skip it entirely."""
     import os
 
+    import jax
+
     key = (num_frames, height, width, focal, seed, advance, backend)
     if cache and key in _CACHE:
         return _CACHE[key]
+    # f64 model under the CPU x64 oracle; f32 where x64 is off (TPU) — asking
+    # for f64 there only triggers a truncation warning, never real precision
+    cam_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     camera = Pinhole.create(
         (float(width), float(height)), (focal, focal),
-        (width / 2.0 - 0.5, height / 2.0 - 0.5), jnp.float64,
+        (width / 2.0 - 0.5, height / 2.0 - 0.5), cam_dtype,
     )
     planes = _corridor_scene(seed)
     poses = corridor_trajectory(num_frames, advance)
