@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--deterministic", action="store_true",
                         help="single-device deterministic execution")
+    parser.add_argument("--host-loop", action="store_true",
+                        help="drive the per-frame loop from the host instead "
+                             "of the device-resident pipeline (debug escape "
+                             "hatch; the device loop is the production path)")
     parser.add_argument("--float64", action="store_true",
                         help="run in float64 (CPU oracle mode)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
@@ -59,6 +63,8 @@ def main(argv=None):
     base_dir = os.path.dirname(os.path.abspath(args.config_file_path))
     app = build_application(
         config, base_dir, jnp.float64 if args.float64 else jnp.float32)
+    if args.host_loop:
+        app.use_device_loop = False
 
     t0 = time.time()
     frame_times = []

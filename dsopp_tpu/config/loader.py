@@ -69,6 +69,8 @@ class Application:
     agent: Optional[object] = None      # sensors.agent.Agent (multi-sensor rig)
     synchronizer: Optional[object] = None
     sanity_checker: Optional[object] = None  # sanity_checker.SanityChecker
+    use_device_loop: bool = True        # production path = benched path
+    _pipe: Optional[object] = None      # PipelinedTracker once initialized
 
     def _next_frame(self):
         """Pull the next master-camera frame through the synchronizer
@@ -117,13 +119,30 @@ class Application:
                         buffered = []
                     result = {"keyframe": done, "bootstrap": True}
             else:
-                result = self.tracker.tick(
-                    frame.frame_id, frame.timestamp, frame.image)
+                # tracked phase: the fully device-resident loop is the
+                # production path (reference dsopp_main runs the same tracker
+                # it benches, dsopp_main.cpp:59-118); --host-loop opts out
+                if self.use_device_loop and self._pipe is None:
+                    from dsopp_tpu.tracker.device_loop import PipelinedTracker
+
+                    self._pipe = PipelinedTracker(self.tracker, flush_every=16)
+                if self._pipe is not None:
+                    self._pipe.tick(frame.frame_id, frame.timestamp,
+                                    frame.image, semantics=frame.semantics)
+                    result = {"pipelined": True}
+                else:
+                    result = self.tracker.tick(
+                        frame.frame_id, frame.timestamp, frame.image,
+                        semantics=frame.semantics)
             if on_frame is not None:
                 on_frame(frame, result)
             if result and result.get("keyframe"):
                 self._run_sanity_check()
             n += 1
+        if self._pipe is not None:
+            self._pipe.finalize()
+            self._pipe = None
+            self._run_sanity_check()
         return n
 
     def _run_sanity_check(self):
@@ -170,9 +189,13 @@ class Application:
             model = self.camera.camera_model(0)
             opts = InitializerOptions()
             init_cfg = self.config.get("initializer", {})
-            opts.num_features = int(init_cfg.get(
-                "features_extractor", {}).get("number_of_features",
-                                              opts.num_features))
+            fe = init_cfg.get("features_extractor", {}) or {}
+            opts.num_features = int(fe.get("number_of_features",
+                                           opts.num_features))
+            # reference fabric: features_extractor.type: ORB selects the
+            # distinct-features matcher (distinct_features_extractor_orb)
+            if str(fe.get("type", "")).upper().startswith("ORB"):
+                opts.matcher = "orb"
             opts.se3_inlier_ratio = float(init_cfg.get(
                 "se3_inlier_ratio", opts.se3_inlier_ratio))
             opts.essential_ransac_threshold_px = float(init_cfg.get(
@@ -224,7 +247,9 @@ def build_tracker_config(tracker_params: dict):
     cfg.max_marginalized_fraction = float(
         marg.get("maximum_percentage_of_marginalized_points_in_frame",
                  cfg.max_marginalized_fraction))
-    cfg.num_frame_slots = cfg.window_max + 1
+    # window_max + 2: the device loop pushes the new keyframe before the
+    # marginalization fold runs (device_loop.PipelinedTracker invariant)
+    cfg.num_frame_slots = cfg.window_max + 2
     cfg.landmarks_per_frame = max(
         64, cfg.desired_points // max(cfg.window_max - 1, 1))
     return cfg
@@ -258,7 +283,9 @@ def build_application(config: dict, base_dir: str = ".", dtype=None) -> Applicat
                     tracker_params.get("type"))
     cfg = build_tracker_config(tracker_params)
     model = camera.camera_model(0, dtype)
-    tracker = MonocularTracker(model, cfg, dtype=dtype)
+    tracker = MonocularTracker(model, cfg, dtype=dtype,
+                               mask=camera.processed_mask())
+    tracker.semantic_filter = tuple(camera.semantic_filter)
 
     # bootstrap: precalculated poses (reference precalculated_pose_alignment /
     # pose_alignment poses_file).  The feature-based initializer plugs in the
@@ -282,4 +309,5 @@ def build_application(config: dict, base_dir: str = ".", dtype=None) -> Applicat
     return Application(camera=camera, tracker=tracker, config=config,
                        init_poses=init_poses, init_frames=init_frames,
                        agent=agent, synchronizer=synchronizer,
-                       sanity_checker=sanity)
+                       sanity_checker=sanity,
+                       use_device_loop=bool(config.get("device_loop", True)))

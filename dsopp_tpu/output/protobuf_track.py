@@ -222,12 +222,13 @@ def save_track_bin(path, track, window=None, camera=None, model=None,
                          np.ones(len(uv))], axis=1)
 
     def add(frame_id, kf_index, ts, t_wc, affine, exposure, uv, idep,
-            valid, baseline, attached):
+            valid, baseline, attached, semantic=None):
         dirs = unproject(np.asarray(uv)) if camera is not None else \
             np.zeros((len(uv), 3))
         lms = [
             _landmark(uv[i], dirs[i], float(idep[i]), 0.0,
-                      float(baseline[i]) if baseline is not None else 0.0)
+                      float(baseline[i]) if baseline is not None else 0.0,
+                      semantic=0 if semantic is None else int(semantic[i]))
             for i in range(len(uv)) if valid[i]
         ]
         tfs = [
@@ -245,7 +246,8 @@ def save_track_bin(path, track, window=None, camera=None, model=None,
     for kf in track.marginalized:
         add(kf.frame_id, kf_index, kf.timestamp, kf.t_wc, kf.affine,
             kf.exposure, kf.lm_uv, kf.lm_idepth,
-            kf.lm_valid & ~kf.lm_outlier, kf.lm_baseline, kf.attached)
+            kf.lm_valid & ~kf.lm_outlier, kf.lm_baseline, kf.attached,
+            semantic=getattr(kf, "lm_semantic", None))
         kf_index += 1
 
     if window is not None:
@@ -370,6 +372,7 @@ def load_track_bin(path):
                                           lm.get(5, 0.0)),
                             "idepth": lm.get(6, 0.0),
                             "baseline": lm.get(7, 0.0),
+                            "semantic": lm.get(8, 0),
                             "variance": lm.get(9, 0.0),
                         })
                 kf["landmarks"].append({"sensor_id": sensor, "points": lms})

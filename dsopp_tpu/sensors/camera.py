@@ -86,6 +86,8 @@ class Camera:
     settings: CameraSettings
     resize_ratio: float = 1.0
     crop_levels: int = 4    # ImageCropper always runs (transformers fabric.cpp:29)
+    semantics_folder: Optional[str] = None   # per-frame class-id images
+    semantic_filter: tuple = ()              # class ids masked out (legend)
 
     _vignetting_dev: object = field(default=None, repr=False)
 
@@ -115,7 +117,16 @@ class Camera:
         transforms = params.get("transformations", {})
         if "resize_transformer" in transforms:
             ratio = float(transforms["resize_transformer"].get("resize_ratio", 1.0))
-        return Camera(sensor_id, provider, settings, ratio)
+
+        # per-frame semantics (reference: semantics data on CameraFeatures +
+        # CameraMask::filterSemanticObjects; legend lists filtered classes)
+        sem_params = params.get("semantics", {}) or {}
+        sem_folder = sem_params.get("folder")
+        if sem_folder:
+            sem_folder = os.path.join(base_dir, sem_folder)
+        sem_filter = tuple(sem_params.get("filter", ()))
+        return Camera(sensor_id, provider, settings, ratio,
+                      semantics_folder=sem_folder, semantic_filter=sem_filter)
 
     def camera_model(self, level: int = 0, dtype=jnp.float32):
         model = self.settings.calibration.camera_model(0, dtype)
@@ -129,6 +140,25 @@ class Camera:
                 model = model._replace(
                     image_size=jnp.asarray((cw, ch), model.image_size.dtype))
         return model.scaled(float(2 ** level)) if level else model
+
+    def processed_mask(self):
+        """The CameraMask transformed exactly like frames (resize + crop) —
+        what candidate selection must consult (camera.cpp owns the mask
+        pyramid; here the tracker applies it at selection time)."""
+        mask = self.settings.mask
+        if mask is None:
+            return None
+        m = np.asarray(mask).astype(np.uint8)
+        if self.resize_ratio != 1.0:
+            import cv2
+
+            m = cv2.resize(m, None, fx=self.resize_ratio, fy=self.resize_ratio,
+                           interpolation=cv2.INTER_NEAREST)
+        if self.crop_levels:
+            cw, ch = crop_size_power_of_2(m.shape[1], m.shape[0],
+                                          self.crop_levels)
+            m = m[:ch, :cw]
+        return jnp.asarray(m > 0)
 
     def next_frame(self) -> Optional[CameraDataFrame]:
         frame = self.provider.next_frame()
@@ -177,5 +207,42 @@ class Camera:
                 None if vignetting is None
                 else jnp.asarray(vignetting, jnp.float32),
             )
+        semantics = self._load_semantics(frame.frame_id, corrected.shape)
         return CameraDataFrame(frame.frame_id, frame.timestamp,
-                               corrected, frame.exposure)
+                               corrected, frame.exposure,
+                               semantics=semantics)
+
+    def _load_semantics(self, frame_id, image_shape):
+        """Class-id image for this frame, transformed like the image
+        (NEAREST resize + crop); None when no semantics are configured."""
+        if not self.semantics_folder:
+            return None
+        import os
+
+        import cv2
+
+        for ext in (".png", ".npy"):
+            path = os.path.join(self.semantics_folder, f"{frame_id}{ext}")
+            if os.path.exists(path):
+                break
+        else:
+            return None
+        if path.endswith(".npy"):
+            sem = np.load(path)
+        else:
+            sem = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if sem is None:
+            return None
+        h, w = image_shape
+        if sem.shape != (h, w):
+            # same transform chain as frames: ratio resize (NEAREST keeps
+            # ids), then the power-of-2 crop
+            if self.resize_ratio != 1.0:
+                sem = cv2.resize(sem, None, fx=self.resize_ratio,
+                                 fy=self.resize_ratio,
+                                 interpolation=cv2.INTER_NEAREST)
+            sem = sem[:h, :w]
+            if sem.shape != (h, w):  # provider-sized semantics: direct map
+                sem = cv2.resize(sem, (w, h),
+                                 interpolation=cv2.INTER_NEAREST)
+        return np.asarray(sem)

@@ -31,6 +31,7 @@ class CameraDataFrame:
     timestamp: float
     image: np.ndarray          # [H, W] float32 grayscale
     exposure: float = 1.0
+    semantics: Optional[np.ndarray] = None  # [H, W] class-id image
 
 
 def _read_times(path):

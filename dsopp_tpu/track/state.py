@@ -50,6 +50,20 @@ class MarginalizedKeyframe:
     lm_outlier: np.ndarray        # [M] bool
     lm_baseline: np.ndarray       # [M]
     attached: List[AttachedFrame] = field(default_factory=list)
+    # per-landmark semantic class id, attached at marginalization time
+    # (reference monocular_tracker.cpp:263-305 addSemanticObservations;
+    # here sampled from the host keyframe's class-id image — one
+    # observation instead of the reference's per-frame vote history)
+    lm_semantic: Optional[np.ndarray] = None  # [M] int
+
+
+def sample_semantics(semantic_image, uv):
+    """Nearest-pixel class ids at ``uv`` [M, 2] from a [H, W] id image."""
+    sem = np.asarray(semantic_image)
+    h, w = sem.shape
+    u = np.clip(np.rint(np.asarray(uv)[:, 0]).astype(int), 0, w - 1)
+    v = np.clip(np.rint(np.asarray(uv)[:, 1]).astype(int), 0, h - 1)
+    return sem[v, u].astype(np.int64)
 
 
 @dataclass

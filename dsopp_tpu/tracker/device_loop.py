@@ -119,8 +119,11 @@ class TickDiag(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
-                models, cfg: DeviceLoopConfig):
-    """One tracked frame as ONE device program → (state', diag)."""
+                models, mask, cfg: DeviceLoopConfig):
+    """One tracked frame as ONE device program → (state', diag).
+
+    ``mask``: [H, W] bool candidate-selection mask (CameraMask, possibly
+    semantic-filtered for this frame)."""
     dtype = image.dtype
     window = state.window
     poses = window.poses()
@@ -201,7 +204,7 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
             out.pose_q, out.pose_t, out.affine,
             frame_id.astype(jnp.int32), base.min_distance,
             cfg.pba_opts, cfg.refine, cfg.huber_sigma,
-            cfg.immature_per_frame)
+            cfg.immature_per_frame, mask=mask)
         win, immature, batch = kf_out.window, kf_out.immature, dict(kf_out.batch)
 
         # activation density P-controller (recalculateMinDistanceToNeighbor)
@@ -316,18 +319,32 @@ class PipelinedTracker:
             min_distance=jnp.asarray(
                 tracker.activator.min_distance_to_neighbor, d),
         )
+        self.mask = tracker.mask
         self.cur_kf = tracker._kf_id()
         self.num_keyframes = tracker.num_keyframes
         self.flush_every = flush_every
         self.pending = []
+        # host-side semantics bookkeeping: per pending frame until the
+        # keyframe flag is known, then per keyframe until marginalization
+        self._sem_pending = {}
+        self._kf_semantics = dict(tracker._kf_semantics)
 
     # ------------------------------------------------------------------
     def tick(self, frame_id: int, timestamp: float, image,
-             force_keyframe: bool = False):
+             force_keyframe: bool = False, semantics=None):
+        if semantics is not None:
+            self._sem_pending[frame_id] = np.asarray(semantics)
+            if self.tracker.semantic_filter:
+                from dsopp_tpu.sensors.masks import filter_semantic_objects
+
+                self.mask = filter_semantic_objects(
+                    self.tracker.base_mask, jnp.asarray(semantics),
+                    self.tracker.semantic_filter)
         image = jnp.asarray(image, self.dtype)
         self.state, diag = device_tick(
             self.state, image, jnp.asarray(frame_id, jnp.int32),
-            jnp.asarray(bool(force_keyframe)), self.models, self.cfg)
+            jnp.asarray(bool(force_keyframe)), self.models, self.mask,
+            self.cfg)
         self.pending.append((frame_id, timestamp, diag))
         if len(self.pending) >= self.flush_every:
             self.drain()
@@ -343,13 +360,19 @@ class PipelinedTracker:
             self._bookkeep(fid, ts, d)
 
     def _bookkeep(self, fid, ts, d: TickDiag):
+        from dsopp_tpu.track.state import sample_semantics
+
         track = self.tracker.track
+        sem = self._sem_pending.pop(fid, None)
         if bool(d.is_keyframe):
             track.on_keyframe(fid, ts)
             self.cur_kf = fid
             self.num_keyframes += 1
+            if sem is not None:
+                self._kf_semantics[fid] = sem
             for pos in np.where(np.asarray(d.frame_flags))[0]:
                 kfid = int(d.kf_frame_id[pos])
+                sem_img = self._kf_semantics.pop(kfid, None)
                 track.on_marginalize(MarginalizedKeyframe(
                     frame_id=kfid,
                     timestamp=track.keyframe_timestamps.get(kfid, ts),
@@ -361,6 +384,9 @@ class PipelinedTracker:
                     lm_valid=np.asarray(d.lm_valid[pos]),
                     lm_outlier=np.asarray(d.lm_outlier[pos]),
                     lm_baseline=np.asarray(d.lm_baseline[pos]),
+                    lm_semantic=(None if sem_img is None else
+                                 sample_semantics(sem_img,
+                                                  np.asarray(d.lm_uv[pos]))),
                 ))
         else:
             track.attach_frame(AttachedFrame(
@@ -389,4 +415,6 @@ class PipelinedTracker:
         t.num_keyframes = self.num_keyframes
         t._kf_id_cache = self.cur_kf
         t._kf_pose_cache = None
+        t._kf_semantics = dict(self._kf_semantics)
+        t.mask = self.mask
         return t

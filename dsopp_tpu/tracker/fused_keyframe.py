@@ -55,6 +55,7 @@ def fused_keyframe_push(
     refine: bool,
     huber_sigma: float,
     immature_per_frame: int,
+    mask=None,                 # [H, W] bool candidate-selection mask
 ) -> FusedKeyframeResult:
     n = window.num_landmark_slots
     dtype = window.lm_uv.dtype
@@ -68,7 +69,9 @@ def fused_keyframe_push(
         jnp.zeros((n,), dtype), jnp.asarray(0, jnp.int32), pixel_map0)
 
     # ---- fresh immature bank from the new frame's candidates ----------
-    cands = select_candidates(pixel_map0, immature_per_frame)
+    # mask = the sensor's CameraMask (semantic-filtered upstream);
+    # reference extractors consult it per candidate (camera_mask.hpp:21-117)
+    cands = select_candidates(pixel_map0, immature_per_frame, mask=mask)
     patches, _ = sample(pixel_map0, shift_pattern(cands.uv))
     grads, _ = sample(pixel_map0, cands.uv)
     bank = make_immature_points(cands.uv, patches[..., 0], grads[..., 1:],

@@ -72,8 +72,8 @@ def _jit_pyramid_maps(image, num_levels):
 
 
 @partial(jax.jit, static_argnames=("num_points",))
-def _jit_immature_inputs(pixel_map, num_points):
-    cands = select_candidates(pixel_map, num_points)
+def _jit_immature_inputs(pixel_map, num_points, mask):
+    cands = select_candidates(pixel_map, num_points, mask=mask)
     patches, _ = sample(pixel_map, shift_pattern(cands.uv))
     grads, _ = sample(pixel_map, cands.uv)
     return cands, patches[..., 0], grads[..., 1:]
@@ -145,13 +145,21 @@ class MonocularTracker:
     """Direct sparse odometry over one camera stream."""
 
     def __init__(self, camera, config: TrackerConfig = TrackerConfig(),
-                 dtype=jnp.float32, image_shape=None):
+                 dtype=jnp.float32, image_shape=None, mask=None):
         self.camera = camera
         self.config = config
         self.dtype = dtype
         h = int(np.asarray(camera.image_size)[1])
         w = int(np.asarray(camera.image_size)[0])
         self.image_shape = (h, w) if image_shape is None else image_shape
+        # candidate-selection validity mask (reference CameraMask,
+        # camera_mask.hpp:21-117); all-valid when the sensor supplies none
+        self.base_mask = (jnp.ones(self.image_shape, bool) if mask is None
+                          else jnp.asarray(mask, bool))
+        self.mask = self.base_mask
+        self.semantic_filter: tuple = ()   # class ids masked out per frame
+        self._last_semantics = None        # newest frame's class-id image
+        self._kf_semantics = {}            # keyframe id → class-id image
         self.models = [camera.scaled(float(2 ** l)) for l in range(config.pyramid_levels)]
 
         self.window: Window = empty_window(
@@ -204,10 +212,21 @@ class MonocularTracker:
 
     # ------------------------------------------------------------------
     def tick(self, frame_id: int, timestamp: float, image,
-             known_pose: Optional[SE3] = None, force_keyframe: bool = False):
+             known_pose: Optional[SE3] = None, force_keyframe: bool = False,
+             semantics=None):
         """Process one frame.  ``known_pose``: precalculated T_w_c (the
         reference's PrecalculatedPoseAlignment path, used by the
-        initializer)."""
+        initializer).  ``semantics``: optional [H, W] class-id image —
+        filtered classes are masked out of candidate selection and class
+        ids are attached to landmarks on marginalization."""
+        if semantics is not None:
+            self._last_semantics = np.asarray(semantics)
+            if self.semantic_filter:
+                from dsopp_tpu.sensors.masks import filter_semantic_objects
+
+                self.mask = filter_semantic_objects(
+                    self.base_mask, jnp.asarray(self._last_semantics),
+                    self.semantic_filter)
         image = jnp.asarray(image, self.dtype)
         maps = _jit_pyramid_maps(image, self.config.pyramid_levels)
 
@@ -339,7 +358,7 @@ class MonocularTracker:
     # ------------------------------------------------------------------
     def _make_immature_bank(self, maps):
         cands, patches, grads = _jit_immature_inputs(
-            maps[0], self.config.immature_per_frame)
+            maps[0], self.config.immature_per_frame, self.mask)
         bank = make_immature_points(cands.uv, patches, grads, dtype=self.dtype)
         return bank._replace(valid=bank.valid & cands.valid)
 
@@ -351,6 +370,8 @@ class MonocularTracker:
         self.num_keyframes += 1
         self._kf_id_cache = frame_id
         self._kf_pose_cache = None
+        if self._last_semantics is not None:
+            self._kf_semantics[frame_id] = self._last_semantics
         stats = {}
 
         if first:
@@ -381,7 +402,8 @@ class MonocularTracker:
                 jnp.asarray(self.activator.min_distance_to_neighbor,
                             self.dtype),
                 self.pba_opts, self.activator.refine,
-                self.config.huber_sigma, cfg.immature_per_frame)
+                self.config.huber_sigma, cfg.immature_per_frame,
+                mask=self.mask)
             self.window, self.immature, batch = (
                 out.window, out.immature, dict(out.batch))
             object.__setattr__(self.window, "_frame_count_cache",
@@ -446,9 +468,12 @@ class MonocularTracker:
     def _snapshot_marginalized(self, host, frame_flags, timestamp):
         """Record dropped keyframes from the batched host snapshot (no
         additional device readbacks)."""
+        from dsopp_tpu.track.state import sample_semantics
+
         ids = host["frame_id"]
         for pos in np.where(frame_flags)[0]:
             fid = int(ids[pos])
+            sem_img = self._kf_semantics.pop(fid, None)
             self.track.on_marginalize(MarginalizedKeyframe(
                 frame_id=fid,
                 timestamp=self.track.keyframe_timestamps.get(fid, timestamp),
@@ -460,6 +485,8 @@ class MonocularTracker:
                 lm_valid=host["lm_valid"][pos],
                 lm_outlier=host["lm_outlier"][pos],
                 lm_baseline=host["lm_baseline"][pos],
+                lm_semantic=(None if sem_img is None else
+                             sample_semantics(sem_img, host["lm_uv"][pos])),
             ))
 
     def _permute_immature(self, frame_valid, frame_flags):

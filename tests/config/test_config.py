@@ -61,7 +61,7 @@ def test_load_and_build(dataset):
     assert app.tracker.config.desired_points == 1000
     assert app.tracker.config.keyframe_factor == 1.5
     assert app.tracker.config.window_max == 6
-    assert app.tracker.config.num_frame_slots == 7
+    assert app.tracker.config.num_frame_slots == 8  # window_max + 2 (device loop)
     frame = app.camera.next_frame()
     assert frame.frame_id == 0
 
