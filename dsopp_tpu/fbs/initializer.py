@@ -41,6 +41,8 @@ class InitializerOptions:
     """Reference Options (initializer.hpp:23-40) + config keys (mono.yaml)."""
 
     num_features: int = 1000
+    matcher: str = "lk"       # "lk" (optical-flow chain) | "orb" (re-detect
+    #                           + descriptor match per frame, features.py)
     essential_ransac_threshold_px: float = 0.5   # at 1280×720 scale
     pnp_ransac_threshold_px: float = 1.0
     se3_inlier_ratio: float = 0.7
@@ -78,6 +80,13 @@ class MonocularInitializer:
 
     # ------------------------------------------------------------------
     def _detect(self, image):
+        if self.options.matcher == "orb":
+            from dsopp_tpu.fbs.features import OrbExtractor
+
+            if getattr(self, "_orb", None) is None:
+                self._orb = OrbExtractor(self.options.num_features)
+            self._ref_features = self._orb.extract(image)
+            return self._ref_features.points.copy()
         import cv2
 
         pts = cv2.goodFeaturesToTrack(
@@ -136,8 +145,17 @@ class MonocularInitializer:
             self.frames.append(_TrackedFrame(frame_id, timestamp, pts, image))
             return False
 
-        prev = self.frames[-1]
-        pts = self._track(prev.image, image, prev.points)
+        if self.options.matcher == "orb":
+            # distinct-features path: re-detect + match against the FIRST
+            # frame (robust to large baselines / frame gaps where the LK
+            # chain breaks — distinct_features_extractor_orb.cpp)
+            from dsopp_tpu.fbs.features import match_descriptors
+
+            pts = match_descriptors(self._ref_features,
+                                    self._orb.extract(image))
+        else:
+            prev = self.frames[-1]
+            pts = self._track(prev.image, image, prev.points)
         self.frames.append(_TrackedFrame(frame_id, timestamp, pts, image))
 
         first = self.frames[0]

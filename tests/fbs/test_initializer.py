@@ -172,3 +172,63 @@ def test_so3xs2_autocalibration_recovers_focal():
         selector.add_result(f)
     f_sel = selector.get_focal_length()
     assert abs(f_sel - focal_gt) < 0.25 * abs(300.0 - focal_gt), f_sel
+
+
+def test_orb_initializer_on_synthetic_sequence():
+    """Distinct-features (ORB) matcher bootstrap — re-detection per frame
+    (reference distinct_features_extractor_orb.cpp)."""
+    seq = render_sequence(num_frames=16, height=240, width=320)
+    init = MonocularInitializer(
+        seq.camera,
+        InitializerOptions(matcher="orb", num_features=2000,
+                           min_parallax_px=6.0, min_frames=5,
+                           reference_image_width=320.0),
+    )
+    done = False
+    for i in range(16):
+        done = init.process(i, float(seq.timestamps[i]), seq.images[i])
+        if done:
+            break
+    assert done, "ORB initializer never finished on a moving sequence"
+    est = [(ts, mat) for _, ts, mat in init.poses]
+    gt = [(float(seq.timestamps[fid]), np.asarray(seq.pose_t_wc(fid).matrix()))
+          for fid, _, _ in init.poses]
+    stats = absolute_trajectory_error(est, gt, align=True, with_scale=True)
+    assert stats["rmse"] < 0.03, stats
+
+
+def test_orb_survives_frame_gaps_where_lk_chain_breaks():
+    """Large-baseline robustness: feed every 4th frame only.  The ORB
+    matcher re-detects and matches first↔current directly, so wide gaps
+    keep plenty of correspondences; the LK chain loses most points."""
+    seq = render_sequence(num_frames=33, height=240, width=320, advance=0.1)
+    frames = list(range(0, 33, 4))
+
+    def run(opts):
+        init = MonocularInitializer(seq.camera, opts)
+        matched = []
+        for i in frames:
+            init.process(i, float(seq.timestamps[i]), seq.images[i])
+            if len(init.frames) >= 2:
+                first = init.frames[0]
+                cur = init.frames[-1]
+                both = (np.isfinite(first.points[:, 0])
+                        & np.isfinite(cur.points[:, 0]))
+                matched.append(int(both.sum()))
+            if init.initialized:
+                break
+        return init, matched
+
+    orb_init, orb_matched = run(
+        InitializerOptions(matcher="orb", num_features=2000,
+                           min_parallax_px=6.0, min_frames=3,
+                           reference_image_width=320.0))
+    assert orb_matched and orb_matched[-1] >= 30, (
+        f"ORB kept too few correspondences across gaps: {orb_matched}")
+    assert orb_init.initialized
+
+    est = [(ts, mat) for _, ts, mat in orb_init.poses]
+    gt = [(float(seq.timestamps[fid]), np.asarray(seq.pose_t_wc(fid).matrix()))
+          for fid, _, _ in orb_init.poses]
+    stats = absolute_trajectory_error(est, gt, align=True, with_scale=True)
+    assert stats["rmse"] < 0.05, stats
