@@ -6,15 +6,19 @@ implementations:
 
 * :mod:`dsopp_tpu.ops.sample` — the corner-packed row-gather layout: one
   gather row per sample point instead of 4 corners x C channels of scalar
-  gathers.  Measured 4.5x faster than the naive scattered ``take`` on a
-  v5e chip at the depth-estimation operating point (scripts/gather_probe2.py).
-* :mod:`dsopp_tpu.ops.pallas_blend` — Pallas kernel fusing the bilinear
-  corner blend + patch reductions, with the XLA path as parity oracle.
+  gathers.
+* :mod:`dsopp_tpu.ops.nbhd` — the neighborhood-packed layout: ONE gather
+  row per pattern group (8x fewer rows; the honest microbench shows the
+  gather costs ~24 ns/row regardless of row width, PERF.md).
 
 Reference analog: PixelMap::Evaluate / interpolateLinear
 (src/features/include/features/camera/pixel_map.hpp:227-300).
 """
 
+from dsopp_tpu.ops.nbhd import (
+    pack_neighborhood,
+    sample_nbhd,
+)
 from dsopp_tpu.ops.sample import (
     pack_corners,
     sample_packed,
@@ -23,6 +27,8 @@ from dsopp_tpu.ops.sample import (
 
 __all__ = [
     "pack_corners",
+    "pack_neighborhood",
+    "sample_nbhd",
     "sample_packed",
     "sample_packed_intensity",
 ]

@@ -1,0 +1,83 @@
+"""Neighborhood-packed bilinear sampling — one gather per pattern GROUP.
+
+The honest microbench (PERF.md) shows the scattered row gather costs
+~24 ns/row regardless of layout, and the epipolar SSD sweep issues one row
+per (landmark, sample, pattern-point) — 230k+ rows per tick.  The 8 pattern
+points of one (landmark, sample) cluster within a few pixels, so packing
+each pixel's 8×8 neighborhood into one row lets the whole pattern be
+fetched with a SINGLE central gather: 8× fewer rows, then the bilinear
+interpolation runs as dense one-hot contractions on already-local data.
+
+Reference analog: PixelMap::Evaluate over a PatternPatch
+(src/features/include/features/camera/pixel_map.hpp:227-300 +
+pattern_patch.hpp) — the reference's contiguous Eigen layout exploits the
+same pattern locality through the cache; here it is explicit in the layout.
+
+Semantics note: a pattern point whose bilinear corners fall outside its
+group's 8×8 window (extreme warp, only possible at degenerate depth-scale
+samples) is reported invalid, where the flat path would still sample it.
+Such samples are garbage matches in both designs; accuracy tests gate this.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# neighborhood window: base = floor(center) - (WIN//2 - 1) covers corner
+# columns floor(center)+[-3, +4] — the ±2 px DSO pattern with subpixel
+# positions and warp-induced stretch up to ~1.7x; 8 keeps rows lane-aligned
+WIN = 8
+
+
+def pack_neighborhood(channel_map):
+    """[H, W] map → [H*W, WIN*WIN] neighborhood rows.
+
+    Row p holds the WIN×WIN block whose top-left pixel has flat index p
+    (dy-major).  Rows within WIN-1 of the right/bottom edge wrap via roll;
+    they are never addressed (bases are clamped).
+    """
+    h, w = channel_map.shape
+    flat = channel_map.reshape(h * w)
+    rows = [jnp.roll(flat, -(dy * w + dx))
+            for dy in range(WIN) for dx in range(WIN)]
+    return jnp.stack(rows, axis=1)                      # [HW, 36]
+
+
+def sample_nbhd(nb, uv, center, height, width):
+    """Bilinear samples of a pattern group from neighborhood rows.
+
+    ``nb``: [H*W, 36] packed map; ``uv``: [..., P, 2] pattern positions;
+    ``center``: [..., 2] the group's central position (chooses the window).
+    Returns (values [..., P], inside [..., P]).  Corner index/weight math
+    matches interpolate.bilinear_weights; points escaping the window are
+    invalid (see module docstring).
+    """
+    dtype = nb.dtype
+    x = uv[..., 0]
+    y = uv[..., 1]
+    inside = (x >= 0) & (y >= 0) & (x <= width - 1) & (y <= height - 1)
+    ix = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, width - 2)
+    iy = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, height - 2)
+    fx = x - ix.astype(dtype)
+    fy = y - iy.astype(dtype)
+
+    bx = jnp.clip(jnp.floor(center[..., 0]).astype(jnp.int32) - (WIN // 2 - 1),
+                  0, width - WIN)
+    by = jnp.clip(jnp.floor(center[..., 1]).astype(jnp.int32) - (WIN // 2 - 1),
+                  0, height - WIN)
+    rows = jnp.take(nb, by * width + bx, axis=0)        # [..., 36]
+
+    dx = ix - bx[..., None]                              # [..., P]
+    dy = iy - by[..., None]
+    in_win = (dx >= 0) & (dx <= WIN - 2) & (dy >= 0) & (dy <= WIN - 2)
+
+    grid = jax.lax.broadcasted_iota(jnp.int32, dx.shape + (WIN,), dx.ndim)
+    wx = (jnp.where(grid == dx[..., None], (1.0 - fx)[..., None], 0.0)
+          + jnp.where(grid == dx[..., None] + 1, fx[..., None], 0.0))
+    wy = (jnp.where(grid == dy[..., None], (1.0 - fy)[..., None], 0.0)
+          + jnp.where(grid == dy[..., None] + 1, fy[..., None], 0.0))
+    wgt = (wy[..., :, None] * wx[..., None, :]).reshape(
+        dx.shape + (WIN * WIN,)).astype(dtype)           # [..., P, 36]
+    vals = jnp.einsum("...pw,...w->...p", wgt, rows)
+    return vals, inside & in_win

@@ -31,11 +31,12 @@ import jax.numpy as jnp
 
 from dsopp_tpu.core.camera import MIN_DEPTH, valid_idepth
 from dsopp_tpu.core.lie import SE3, quat_rotate
-from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
+from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
 from dsopp_tpu.ops import (
     pack_corners,
+    pack_neighborhood,
+    sample_nbhd,
     sample_packed,
-    sample_packed_intensity,
 )
 
 # ImmatureStatus (reference immature_tracking_landmark.hpp:14-23)
@@ -124,11 +125,13 @@ def estimate_depths(
     s = num_samples
     dtype = points.uv.dtype
     h_px, w_px = target_map.shape[-2:]
-    # corner-pack the target map once; the SSD sweep (the N·S·P bulk of the
-    # gathers) only reads intensity, so it uses the 4-wide intensity rows
-    # (depth_estimation.cpp:36-77 samples intensities only)
+    # corner-pack the target map once (subpixel GN refinement needs
+    # value+gradients); the SSD sweep — the N·S·P bulk of the gathers —
+    # reads intensity only (depth_estimation.cpp:36-77) through the
+    # neighborhood layout: ONE central gather per (landmark, sample)
+    # instead of one per pattern point (ops/nbhd.py, 8x fewer rows)
     packed = pack_corners(target_map)
-    packed_i = packed.reshape(h_px * w_px, 4, target_map.shape[0])[..., 0]
+    nb_i = pack_neighborhood(target_map[0])
 
     active = points.valid & (
         (points.status == STATUS_GOOD)
@@ -190,8 +193,8 @@ def estimate_depths(
     pr_p = quat_rotate(t_t_r.q, ray_p)
     q_sp = pr_p[:, None, :, :] + rho_s[:, :, None, None] * t[:, None, None, :]  # [N,S,P,3]
     uv_sp, valid_sp = _project_scaled(model, q_sp)
-    intensity_sp, inside_sp = sample_packed_intensity(
-        packed_i, uv_sp, h_px, w_px)                           # [N,S,P]
+    intensity_sp, inside_sp = sample_nbhd(
+        nb_i, uv_sp, uv_sp[..., PATTERN_CENTER, :], h_px, w_px)  # [N,S,P]
 
     scale = exposure_ratio * jnp.exp(affine_tgt[0] - affine_ref[0])
     corrected_ref = scale * (points.patch - affine_ref[1])     # [N, P]
