@@ -51,9 +51,18 @@ def image_gradients(image):
 
 
 def build_pixel_map(image):
-    """[H, W] intensity → [3, H, W] pixel map (intensity, dx, dy)."""
+    """[H, W] or [C, H, W] frame → [3C, H, W] pixel map.
+
+    Channel groups: ``[values (C), d/dx (C), d/dy (C)]`` — for C=1 exactly
+    the historical (intensity, dx, dy) layout.  C>1 carries frame-embedder
+    channels (reference: pixel_map.hpp:17 ``template <int C>`` +
+    frame_embedding_extractor.hpp); per-channel gradients are precomputed
+    the same way the C=1 path does.
+    """
+    if image.ndim == 2:
+        image = image[None]
     dx, dy = image_gradients(image)
-    return jnp.stack([image, dx, dy], axis=0)
+    return jnp.concatenate([image, dx, dy], axis=0)
 
 
 def bilinear_weights(uv, height, width):

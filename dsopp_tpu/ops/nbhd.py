@@ -34,14 +34,20 @@ def pack_neighborhood(channel_map):
     """[H, W] map → [H*W, WIN*WIN] neighborhood rows.
 
     Row p holds the WIN×WIN block whose top-left pixel has flat index p
-    (dy-major).  Rows within WIN-1 of the right/bottom edge wrap via roll;
-    they are never addressed (bases are clamped).
+    (dy-major).  Rows within WIN-1 of the right/bottom edge hold zero
+    padding there; they are never addressed (bases are clamped).
+
+    Implemented as ONE patch-extraction convolution: the earlier
+    roll-and-stack construction materialized WIN² shifted copies, which
+    under ``vmap`` XLA laid out as [B, H*W, 1] buffers — 128× lane padding,
+    ~600 MB per copy at VGA (measured OOM on a 16 GB chip at B=4).  The
+    conv lowers to a single fused patch gather with no padded temporaries.
     """
     h, w = channel_map.shape
-    flat = channel_map.reshape(h * w)
-    rows = [jnp.roll(flat, -(dy * w + dx))
-            for dy in range(WIN) for dx in range(WIN)]
-    return jnp.stack(rows, axis=1)                      # [HW, 36]
+    patches = jax.lax.conv_general_dilated_patches(
+        channel_map[None, None], (WIN, WIN), (1, 1),
+        [(0, WIN - 1), (0, WIN - 1)])                   # [1, WIN*WIN, H, W]
+    return patches.reshape(WIN * WIN, h * w).T          # [HW, 64]
 
 
 def sample_nbhd(nb, uv, center, height, width):

@@ -62,7 +62,7 @@ class LevelPoints(NamedTuple):
 
     uv: jnp.ndarray         # [N, 2] pixel coords at this level
     idepth: jnp.ndarray     # [N]
-    intensity: jnp.ndarray  # [N] reference intensity at uv (this level)
+    intensity: jnp.ndarray  # [N] (C=1) or [N, C] reference values at uv
     valid: jnp.ndarray      # [N] bool
 
 
@@ -87,14 +87,24 @@ def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
         packed = pack_corners(pixel_map)
     h_px, w_px = pixel_map.shape[-2:]
     patch, inside = sample_packed(packed, rj.uv, h_px, w_px)
-    intensity_t, gx, gy = patch[..., 0], patch[..., 1], patch[..., 2]
+    # channel groups [values C | dx C | dy C] (build_pixel_map); C=1 is the
+    # historical (intensity, dx, dy).  Reference: pixel_map.hpp C template.
+    num_c = patch.shape[-1] // 3
+    vals, gx, gy = (patch[..., :num_c], patch[..., num_c:2 * num_c],
+                    patch[..., 2 * num_c:])
+    ref_int = pts.intensity
+    if ref_int.ndim == pts.uv.ndim - 1:          # [N] legacy C=1 layout
+        ref_int = ref_int[..., None]             # → [N, 1]
 
-    corrected_ref = scale * (pts.intensity - b_r)
-    r = (intensity_t - b_t) - corrected_ref
+    corrected_ref = scale * (ref_int - b_r)      # [N, C]
+    r = (vals - b_t) - corrected_ref             # [N, C]
     ok = pts.valid & rj.valid & inside
 
-    r2 = jnp.where(ok, r * r, 0.0)
-    energies, weights = huber_energy_weight(r2, opts.huber_sigma)
+    # whole-point Huber on the channel-summed energy, σ·√C (reference
+    # kHuberLossSigma × √C scaling, eigen_pose_alignment.cpp)
+    r2 = jnp.where(ok, jnp.sum(r * r, axis=-1), 0.0)
+    sigma = opts.huber_sigma * float(num_c) ** 0.5
+    energies, weights = huber_energy_weight(r2, sigma)
     energies = jnp.where(ok, energies, 0.0)
     weights = jnp.where(ok, weights, 0.0)
 
@@ -109,14 +119,16 @@ def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
 
     # d(uv)/d(left tangent of t_t_r) = −d_uv_d_eps_tgt  (see core.reproject)
     duv = -rj.d_uv_d_eps_tgt                     # [N, 2, 6]
-    dr_dpose = gx[..., None] * duv[..., 0, :] + gy[..., None] * duv[..., 1, :]
-    dr_da = -corrected_ref
-    dr_db = -jnp.ones_like(r)
-    j = jnp.concatenate([dr_dpose, dr_da[..., None], dr_db[..., None]], axis=-1)
+    dr_dpose = (gx[..., None] * duv[..., None, 0, :]
+                + gy[..., None] * duv[..., None, 1, :])   # [N, C, 6]
+    dr_da = -corrected_ref                                # [N, C]
+    dr_db = -jnp.ones_like(r)                             # [N, C]
+    j = jnp.concatenate([dr_dpose, dr_da[..., None], dr_db[..., None]],
+                        axis=-1)                          # [N, C, 8]
 
-    jw = j * weights[..., None]
-    h = jnp.einsum("ni,nj->ij", jw, j)
-    b = jnp.einsum("ni,n->i", jw, r)
+    jw = j * weights[..., None, None]
+    h = jnp.einsum("nci,ncj->ij", jw, j)
+    b = jnp.einsum("nci,nc->i", jw, r)
     # affine prior system
     h = h.at[6, 6].add(reg[0]).at[7, 7].add(reg[1])
     b = b.at[6].add(reg[0] * affine[0]).at[7].add(reg[1] * affine[1])

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dsopp_tpu.parallel.mesh import make_mesh
 from dsopp_tpu.parallel.sharded import (
@@ -52,7 +53,7 @@ def test_lm_only_mesh():
     assert bool(jnp.all(jnp.isfinite(out[2])))
 
 
-def test_dryrun_entry_points():
+def test_entry_point():
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -61,5 +62,15 @@ def test_dryrun_entry_points():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert all(bool(jnp.all(jnp.isfinite(o))) for o in jax.tree_util.tree_leaves(out))
+
+
+@pytest.mark.slow
+def test_dryrun_multichip():
+    """The driver's multi-chip dry run: full sharded solver + marg fold +
+    a 20-frame tracked segment under the 8-device mesh (~3 min compile)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
