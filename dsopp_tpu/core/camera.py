@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
 # Reference constants (camera_model_base.hpp).
@@ -492,5 +494,136 @@ class Atan(NamedTuple):
         return self.unproject(uv), _inside_roi(uv, self.image_size, border)
 
 
+class IOSCamera(NamedTuple):
+    """iOS-device model: pinhole + lookup-table radial magnifier
+    (reference pinhole/ios_camera_model.hpp — ARKit lens-distortion LUT).
+
+    A pixel at scaled radius ``r = |f ⊙ m|`` (m = hnormalized ray) is
+    displaced radially by ``1 / mag(r / R)`` where ``mag`` linearly
+    interpolates the device lookup table (+1) over [0, R] and ``R`` is the
+    max in-image radius.  Projection divides by the magnifier, unprojection
+    runs a fixed-iteration Gauss-Newton refinement on the z=1 plane (the
+    reference uses 7 GN iterations on the ray, ios_camera_model.hpp:80-91).
+    """
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    lut: jnp.ndarray          # [L] distortion magnifier table (mag = lut+1)
+    max_radius: jnp.ndarray   # scalar R
+    image_size: jnp.ndarray
+
+    @staticmethod
+    def create(image_size, focal, principal, lut, dtype=jnp.float32) -> "IOSCamera":
+        fx, fy = focal
+        cx, cy = principal
+        w, h = float(image_size[0]), float(image_size[1])
+        corners = np.asarray([[0.0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]])
+        max_r = float(np.max(np.linalg.norm(
+            corners - np.asarray([float(cx), float(cy)]), axis=1)))
+        return IOSCamera(
+            jnp.asarray(fx, dtype), jnp.asarray(fy, dtype),
+            jnp.asarray(cx, dtype), jnp.asarray(cy, dtype),
+            jnp.asarray(lut, dtype), jnp.asarray(max_r, dtype),
+            jnp.asarray(image_size, dtype))
+
+    def scaled(self, scale) -> "IOSCamera":
+        s = jnp.asarray(scale, self.fx.dtype)
+        # the LUT is indexed by r/R — invariant to uniform pixel scaling
+        return IOSCamera(self.fx / s, self.fy / s, self.cx / s, self.cy / s,
+                         self.lut, self.max_radius / s, self.image_size / s)
+
+    def _magnifier(self, r_ratio):
+        """mag(r/R) = interp(lut)(r/R) + 1 and its d/d(r_ratio)."""
+        n = self.lut.shape[0]
+        x = jnp.clip(r_ratio, 0.0, 1.0) * (n - 1)
+        idx = jnp.clip(x.astype(jnp.int32), 0, n - 2)
+        frac = x - idx.astype(x.dtype)
+        lo = self.lut[idx]
+        hi = self.lut[idx + 1]
+        mag = lo * (1.0 - frac) + hi * frac + 1.0
+        dmag = (hi - lo) * (n - 1)
+        return mag, dmag
+
+    def _project_core(self, p3d):
+        z = p3d[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        sx = self.fx * p3d[..., 0] / z_safe
+        sy = self.fy * p3d[..., 1] / z_safe
+        r = jnp.sqrt(jnp.maximum(sx * sx + sy * sy, 1e-30))
+        mag, _ = self._magnifier(r / self.max_radius)
+        return jnp.stack([sx / mag + self.cx, sy / mag + self.cy], -1)
+
+    def project(self, p3d, border=BORDER_SIZE):
+        z = p3d[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        sx = self.fx * p3d[..., 0] / z_safe
+        sy = self.fy * p3d[..., 1] / z_safe
+        r = jnp.sqrt(jnp.maximum(sx * sx + sy * sy, 1e-30))
+        r_ratio = r / self.max_radius
+        mag, _ = self._magnifier(r_ratio)
+        uv = jnp.stack([sx / mag + self.cx, sy / mag + self.cy], -1)
+        valid = ((z >= MIN_DEPTH) & (r_ratio <= 1.0)
+                 & _inside_roi(uv, self.image_size, border))
+        return uv, valid
+
+    def project_jacobian(self, p3d, border=BORDER_SIZE):
+        """Full-chain analytic Jacobian (incl. d(mag)/dr of the LUT)."""
+        x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        iz = 1.0 / z_safe
+        sx, sy = self.fx * x * iz, self.fy * y * iz
+        r = jnp.sqrt(jnp.maximum(sx * sx + sy * sy, 1e-30))
+        r_ratio = r / self.max_radius
+        mag, dmag = self._magnifier(r_ratio)
+        uv = jnp.stack([sx / mag + self.cx, sy / mag + self.cy], -1)
+        # d(s/mag)/ds = I/mag − s sᵀ · dmag/(R r mag²)
+        g = dmag / (self.max_radius * r * mag * mag)
+        a00 = 1.0 / mag - g * sx * sx
+        a01 = -g * sx * sy
+        a11 = 1.0 / mag - g * sy * sy
+        # ds/dp3d = [[fx iz, 0, −fx x iz²], [0, fy iz, −fy y iz²]]
+        iz2 = iz * iz
+        j00 = a00 * self.fx * iz
+        j01 = a01 * self.fy * iz
+        j02 = -(a00 * self.fx * x + a01 * self.fy * y) * iz2
+        j10 = a01 * self.fx * iz
+        j11 = a11 * self.fy * iz
+        j12 = -(a01 * self.fx * x + a11 * self.fy * y) * iz2
+        j = jnp.stack([j00, j01, j02, j10, j11, j12], -1).reshape(
+            x.shape + (2, 3))
+        valid = ((z >= MIN_DEPTH) & (r_ratio <= 1.0)
+                 & _inside_roi(uv, self.image_size, border))
+        return uv, j, valid
+
+    def unproject(self, uv, gn_iters: int = 7):
+        """LUT-undistort initial guess + ``gn_iters`` Gauss-Newton steps on
+        the z=1 plane (well-posed 2×2 system; reference uses 7 iterations)."""
+        px = uv[..., 0] - self.cx
+        py = uv[..., 1] - self.cy
+        r_d = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-30))
+        mag0, _ = self._magnifier(r_d / self.max_radius)
+        mx = px * mag0 / self.fx
+        my = py * mag0 / self.fy
+        for _ in range(gn_iters):
+            p3d = jnp.stack([mx, my, jnp.ones_like(mx)], -1)
+            proj, jac, _ = self.project_jacobian(p3d, border=-1e9)
+            rx = uv[..., 0] - proj[..., 0]
+            ry = uv[..., 1] - proj[..., 1]
+            # 2x2 solve on the (x, y) columns of J
+            a, b = jac[..., 0, 0], jac[..., 0, 1]
+            c, d = jac[..., 1, 0], jac[..., 1, 1]
+            det = a * d - b * c
+            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            mx = mx + (d * rx - b * ry) / det
+            my = my + (a * ry - c * rx) / det
+        return jnp.stack([mx, my, jnp.ones_like(mx)], -1)
+
+    def unproject_valid(self, uv, border=BORDER_SIZE):
+        return self.unproject(uv), _inside_roi(uv, self.image_size, border)
+
+
 CAMERA_MODELS = {"pinhole": Pinhole, "simple_radial": SimpleRadial,
-                 "tum_fov": TumFov, "division": Division, "atan": Atan}
+                 "tum_fov": TumFov, "division": Division, "atan": Atan,
+                 "ios": IOSCamera}

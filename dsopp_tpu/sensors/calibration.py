@@ -19,7 +19,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from dsopp_tpu.core.camera import Pinhole, SimpleRadial, TumFov
+from dsopp_tpu.core.camera import IOSCamera, Pinhole, SimpleRadial, TumFov
 
 
 @dataclass
@@ -40,6 +40,10 @@ class CameraCalibration:
         elif self.model_type == "tum_fov":
             fx, fy, cx, cy, fov = self.intrinsics
             model = TumFov.create(self.image_size, (fx, fy), (cx, cy), fov, dtype)
+        elif self.model_type == "ios":
+            fx, fy, cx, cy = self.intrinsics[:4]
+            model = IOSCamera.create(self.image_size, (fx, fy), (cx, cy),
+                                     self.intrinsics[4:], dtype)
         else:
             raise ValueError(f"unknown model type {self.model_type!r}")
         return model.scaled(scale) if level else model
@@ -72,6 +76,10 @@ def load_calibration(path: str, shutter_time: float = 0.0) -> CameraCalibration:
         fx, fy, cx, cy, fov = rest[:5]
         intr = np.asarray([fx * w, fy * h, cx * w, cy * h, fov])
         return CameraCalibration("tum_fov", (w, h), intr, shutter_time)
+    if model == "ios":
+        # fx fy cx cy + N lookup-table magnifier entries (ARKit LUT)
+        assert len(rest) >= 6
+        return CameraCalibration("ios", (w, h), np.asarray(rest), shutter_time)
     raise ValueError(f"unknown calibration model {model!r}")
 
 

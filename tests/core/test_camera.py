@@ -158,3 +158,58 @@ def test_atan_polynomial_roundtrip():
     _, j, _ = cam.project_jacobian(p3d)
     j_ad = jax.vmap(jax.jacobian(lambda p: cam.project(p)[0]))(p3d)
     np.testing.assert_allclose(j, j_ad, atol=1e-7)
+
+
+# ---- IOS lookup-table model (reference ios_camera_model.hpp) -------------
+
+def make_ios():
+    from dsopp_tpu.core.camera import IOSCamera
+
+    # smooth barrel-like magnifier LUT (ARKit tables are ~42 entries)
+    r = np.linspace(0.0, 1.0, 42)
+    lut = 0.06 * r * r - 0.015 * r
+    return IOSCamera.create(SIZE, (448.155, 450.2), (640.0, 360.0),
+                            lut, jnp.float64)
+
+
+def test_ios_project_unproject_roundtrip():
+    cam = make_ios()
+    uv, depth = _points_in_view(jax.random.PRNGKey(11))
+    rays = cam.unproject(uv)
+    p3d = rays * depth[:, None]
+    uv2, valid = cam.project(p3d)
+    np.testing.assert_allclose(np.asarray(uv2), np.asarray(uv), atol=1e-6)
+    assert bool(jnp.all(valid))
+
+
+def test_ios_jacobian_vs_autodiff():
+    cam = make_ios()
+    uv, depth = _points_in_view(jax.random.PRNGKey(12), n=64)
+    p3d = cam.unproject(uv) * depth[:, None]
+    _, j, _ = cam.project_jacobian(p3d)
+    j_ad = jax.vmap(jax.jacobian(lambda p: cam.project(p)[0]))(p3d)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ad), atol=1e-7)
+
+
+def test_ios_identity_lut_matches_pinhole():
+    from dsopp_tpu.core.camera import IOSCamera
+
+    cam = IOSCamera.create(SIZE, (448.155, 448.155), (640.0, 360.0),
+                           np.zeros(42), jnp.float64)
+    pin = make_pinhole()
+    uv, depth = _points_in_view(jax.random.PRNGKey(13), n=64)
+    p3d = pin.unproject(uv) * depth[:, None]
+    uv_ios, _ = cam.project(p3d)
+    uv_pin, _ = pin.project(p3d)
+    np.testing.assert_allclose(np.asarray(uv_ios), np.asarray(uv_pin), atol=1e-9)
+
+
+def test_ios_scaled_model_halves_projection():
+    cam = make_ios()
+    half = cam.scaled(2.0)
+    uv, depth = _points_in_view(jax.random.PRNGKey(14), n=64)
+    p3d = cam.unproject(uv) * depth[:, None]
+    uv_full, _ = cam.project(p3d)
+    uv_half, _ = half.project(p3d, border=0)
+    np.testing.assert_allclose(np.asarray(uv_half), np.asarray(uv_full) / 2.0,
+                               atol=1e-6)
