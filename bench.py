@@ -3,14 +3,21 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "frames/s", "vs_baseline": N}
 
-Operating point = the reference's standart.yaml scale
+Operating point = the reference's standart.yaml
 (/root/reference/test/test_data/tummono/standart.yaml): 640x480 frames,
-~2000 active points over a 7-keyframe window, 7 BA iterations per keyframe,
-5 pyramid levels, 8-pixel pattern.  FPS semantics follow the reference's
-runtime meter (/root/reference/src/dsopp/src/dsopp.cpp:45-73): tracked
-frames / wall-clock over a steady-state stretch that includes keyframe
-ticks (activation + windowed BA + marginalization), not just cheap
-regular frames.
+2000 desired points, sparse-marginalization window 5..8
+(marginalization_strategy.minimum_size/maximum_size), keyframe strategy
+``mean_square_optical_flow`` with **factor 1.25** (standart.yaml:10-11),
+7 BA iterations per keyframe, 5 pyramid levels, 8-pixel pattern.  FPS
+semantics follow the reference's runtime meter
+(/root/reference/src/dsopp/src/dsopp.cpp:45-73): tracked frames /
+wall-clock over a stretch that includes keyframe ticks (activation +
+windowed BA + marginalization), not just cheap regular frames.
+
+Round-2 note: the r2 bench ran keyframe_factor=3.0 — 2.4x the reference's
+keyframe cadence (measured 23% keyframe rate vs ~10% at factor 1.25) —
+which over-paid the 188 ms keyframe tick per frame and under-reported
+throughput vs the reference operating point.  r3 matches the YAML.
 
 Pipeline under test: the fully device-resident loop
 (dsopp_tpu/tracker/device_loop.py) — one XLA program per frame, async
@@ -46,7 +53,7 @@ import numpy as np
 REFERENCE_FPS = 30.0  # see module docstring
 
 HEIGHT, WIDTH, FOCAL = 480, 640, 520.0
-NUM_FRAMES = 72
+NUM_FRAMES = 120      # long enough for the 8-KF window to fill + overflow
 INIT_FRAMES = 6
 
 
@@ -69,14 +76,14 @@ def main():
     cam = Pinhole.create((float(WIDTH), float(HEIGHT)), (FOCAL, FOCAL),
                          (WIDTH / 2 - 0.5, HEIGHT / 2 - 0.5), jnp.float32)
     cfg = TrackerConfig(
-        num_frame_slots=9,            # window_max + 2 (device-loop invariant)
-        landmarks_per_frame=320,      # 320*7 slots ≈ 2000 active points
+        num_frame_slots=10,           # window_max + 2 (device-loop invariant)
+        landmarks_per_frame=250,      # 250*8 slots = 2000 active points
         immature_per_frame=800,
         desired_points=2000,
         frontend_points=2000,
-        keyframe_factor=3.0,
-        window_min=5,
-        window_max=7,
+        keyframe_factor=1.25,         # standart.yaml keyframe_strategy.factor
+        window_min=5,                 # marginalization_strategy.minimum_size
+        window_max=8,                 # marginalization_strategy.maximum_size
         use_rotation_perturbations=False,
     )
     tracker = MonocularTracker(cam, cfg, dtype=jnp.float32)
@@ -138,7 +145,7 @@ def main():
 
     fps = n / elapsed
     print(json.dumps({
-        "metric": "vga_2000pt_w7_pipeline_throughput",
+        "metric": "vga_2000pt_w8_pipeline_throughput",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),

@@ -88,6 +88,10 @@ def df_neg(x_hi, x_lo):
 
 def df_scale(x_hi, x_lo, a):
     """Pair × plain scalar/array (elementwise) → normalized pair."""
+    # coerce python scalars to the pair dtype: jnp.asarray(0.5) inside
+    # _split would otherwise become float64 under the x64 oracle and
+    # silently promote an f32 ledger
+    a = jnp.asarray(a, x_hi.dtype)
     p, pe = two_prod(x_hi, a)
     hi, lo = two_sum(p, pe + x_lo * a)
     return hi, lo

@@ -160,6 +160,15 @@ class MonocularTracker:
         self.semantic_filter: tuple = ()   # class ids masked out per frame
         self._last_semantics = None        # newest frame's class-id image
         self._kf_semantics = {}            # keyframe id → class-id image
+        # cast the camera to the tracker dtype: an f64 (oracle) model fed to
+        # an f32 tracker would otherwise promote every downstream op under
+        # x64 (array fields only — static fields like Atan.poly stay tuples)
+        camera = type(camera)(*[
+            jnp.asarray(f, dtype)
+            if hasattr(f, "dtype") and jnp.issubdtype(f.dtype, jnp.floating)
+            else f
+            for f in camera])
+        self.camera = camera
         self.models = [camera.scaled(float(2 ** l)) for l in range(config.pyramid_levels)]
 
         self.window: Window = empty_window(
