@@ -96,13 +96,20 @@ def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
     if ref_int.ndim == pts.uv.ndim - 1:          # [N] legacy C=1 layout
         ref_int = ref_int[..., None]             # → [N, 1]
 
-    corrected_ref = scale * (ref_int - b_r)      # [N, C]
-    r = (vals - b_t) - corrected_ref             # [N, C]
+    if num_c == 1:
+        # scalar fast path — bitwise-identical to the historical C=1 code
+        # (reduction order matters: the batched-vs-solo parity tests pin
+        # cross-compilation rounding at tight tolerances)
+        vals, gx, gy = vals[..., 0], gx[..., 0], gy[..., 0]
+        ref_int = ref_int[..., 0]
+
+    corrected_ref = scale * (ref_int - b_r)      # [N, C] ([N] when C=1)
+    r = (vals - b_t) - corrected_ref
     ok = pts.valid & rj.valid & inside
 
     # whole-point Huber on the channel-summed energy, σ·√C (reference
     # kHuberLossSigma × √C scaling, eigen_pose_alignment.cpp)
-    r2 = jnp.where(ok, jnp.sum(r * r, axis=-1), 0.0)
+    r2 = jnp.where(ok, r * r if num_c == 1 else jnp.sum(r * r, axis=-1), 0.0)
     sigma = opts.huber_sigma * float(num_c) ** 0.5
     energies, weights = huber_energy_weight(r2, sigma)
     energies = jnp.where(ok, energies, 0.0)
@@ -119,16 +126,25 @@ def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
 
     # d(uv)/d(left tangent of t_t_r) = −d_uv_d_eps_tgt  (see core.reproject)
     duv = -rj.d_uv_d_eps_tgt                     # [N, 2, 6]
-    dr_dpose = (gx[..., None] * duv[..., None, 0, :]
-                + gy[..., None] * duv[..., None, 1, :])   # [N, C, 6]
-    dr_da = -corrected_ref                                # [N, C]
-    dr_db = -jnp.ones_like(r)                             # [N, C]
-    j = jnp.concatenate([dr_dpose, dr_da[..., None], dr_db[..., None]],
-                        axis=-1)                          # [N, C, 8]
-
-    jw = j * weights[..., None, None]
-    h = jnp.einsum("nci,ncj->ij", jw, j)
-    b = jnp.einsum("nci,nc->i", jw, r)
+    if num_c == 1:
+        dr_dpose = gx[..., None] * duv[..., 0, :] + gy[..., None] * duv[..., 1, :]
+        dr_da = -corrected_ref
+        dr_db = -jnp.ones_like(r)
+        j = jnp.concatenate([dr_dpose, dr_da[..., None], dr_db[..., None]],
+                            axis=-1)
+        jw = j * weights[..., None]
+        h = jnp.einsum("ni,nj->ij", jw, j)
+        b = jnp.einsum("ni,n->i", jw, r)
+    else:
+        dr_dpose = (gx[..., None] * duv[..., None, 0, :]
+                    + gy[..., None] * duv[..., None, 1, :])   # [N, C, 6]
+        dr_da = -corrected_ref                                # [N, C]
+        dr_db = -jnp.ones_like(r)                             # [N, C]
+        j = jnp.concatenate([dr_dpose, dr_da[..., None], dr_db[..., None]],
+                            axis=-1)                          # [N, C, 8]
+        jw = j * weights[..., None, None]
+        h = jnp.einsum("nci,ncj->ij", jw, j)
+        b = jnp.einsum("nci,nc->i", jw, r)
     # affine prior system
     h = h.at[6, 6].add(reg[0]).at[7, 7].add(reg[1])
     b = b.at[6].add(reg[0] * affine[0]).at[7].add(reg[1] * affine[1])
