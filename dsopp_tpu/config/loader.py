@@ -82,11 +82,25 @@ class Application:
             return sync.camera_frame(self.camera.sensor_id)
         return self.camera.next_frame()
 
-    def run(self, max_frames: Optional[int] = None, on_frame=None):
+    def run(self, max_frames: Optional[int] = None, on_frame=None,
+            observers=None):
         """Main loop (reference dsopp.cpp:102-145): pull synchronized
         frames, feed the initializer until it produces poses (feature-based
         SLAM by default, precalculated poses_file if configured), then
-        replay them into the direct tracker and continue ticking."""
+        replay them into the direct tracker and continue ticking.
+
+        ``observers``: list of :class:`dsopp_tpu.output.observers.TrackObserver`
+        — per-frame notify here, keyframe/marginalization events via the
+        track, ``finish`` once after the loop (reference output-interface
+        set, dsopp.cpp wiring).  ``on_frame`` is the legacy single-callback
+        form, kept working.
+        """
+        from dsopp_tpu.output.observers import CallbackObserver, ObserverSet
+
+        obs = ObserverSet(list(observers or []))
+        if on_frame is not None:
+            obs.add(CallbackObserver(on_frame))
+        self.tracker.track.observers.append(obs)
         n = 0
         buffered = []   # frames retained while the FBS initializer runs
         while True:
@@ -134,8 +148,7 @@ class Application:
                     result = self.tracker.tick(
                         frame.frame_id, frame.timestamp, frame.image,
                         semantics=frame.semantics)
-            if on_frame is not None:
-                on_frame(frame, result)
+            obs.on_frame(frame, result)
             if result and result.get("keyframe"):
                 self._run_sanity_check()
             n += 1
@@ -143,6 +156,8 @@ class Application:
             self._pipe.finalize()
             self._pipe = None
             self._run_sanity_check()
+        obs.finish(self.tracker)
+        self.tracker.track.observers.remove(obs)
         return n
 
     def _run_sanity_check(self):

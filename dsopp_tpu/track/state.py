@@ -77,16 +77,24 @@ class OdometryTrack:
     # relative-pose covariances keyed by (reference_id, target_id) → 6×6
     # (reference FrameConnection covariance, connection.proto field 5)
     connections: dict = field(default_factory=dict)
+    # registered output observers (output/observers.py; reference
+    # TrackOutputInterface set) — events fire from both the host loop and
+    # the device-loop batched bookkeeping; excluded from checkpoints
+    observers: List = field(default_factory=list)
 
     def attach_frame(self, frame: AttachedFrame):
         self.attached.setdefault(frame.keyframe_id, []).append(frame)
 
     def on_keyframe(self, frame_id: int, timestamp: float):
         self.keyframe_timestamps[frame_id] = timestamp
+        for obs in self.observers:
+            obs.on_keyframe(frame_id, timestamp)
 
     def on_marginalize(self, kf: MarginalizedKeyframe):
         kf.attached = self.attached.pop(kf.frame_id, [])
         self.marginalized.append(kf)
+        for obs in self.observers:
+            obs.on_marginalize(kf)
 
     def trajectory(self, window=None):
         """Full-rate (timestamp, T_wc 4x4) list: marginalized + active

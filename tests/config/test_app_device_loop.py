@@ -123,3 +123,38 @@ def test_cli_runs_device_loop_and_matches_host_loop(dataset):
     errs = [np.linalg.norm(mat[:3, 3] - by_ts[ts][:3, 3])
             for ts, mat in traj_dev if ts in by_ts]
     assert np.sqrt(np.mean(np.square(errs))) < 5e-2
+
+
+def test_run_notifies_observers(dataset):
+    """Observer set gets per-frame notify, keyframe events from the
+    device-loop bookkeeping, and exactly one finish (reference
+    output-interface wiring, dsopp.cpp)."""
+    from dsopp_tpu.output.observers import FpsMeter, TrackObserver
+
+    class Recorder(TrackObserver):
+        def __init__(self):
+            self.frames, self.kfs, self.finished = 0, 0, 0
+
+        def on_frame(self, frame, result):
+            self.frames += 1
+
+        def on_keyframe(self, frame_id, timestamp):
+            self.kfs += 1
+
+        def finish(self, tracker):
+            self.finished += 1
+
+    dataset_dir, _ = dataset
+    config = load_config(str(dataset_dir / "mono.yaml"))
+    app = build_application(config, str(dataset_dir), jnp.float64)
+    rec, fps = Recorder(), FpsMeter()
+    n = app.run(observers=[rec, fps])
+    assert rec.frames == n and fps.frames == n and fps.fps > 0
+    assert rec.kfs >= 1          # device-loop drain fires track events
+    assert rec.finished == 1
+    # run() detaches its observer set afterwards
+    app.tracker.track.on_keyframe(999, 9.9)
+    assert rec.kfs >= 1 and 999 not in range(0)  # no further events counted
+    before = rec.kfs
+    app.tracker.track.on_keyframe(1000, 10.0)
+    assert rec.kfs == before
