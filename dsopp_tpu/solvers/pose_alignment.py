@@ -51,6 +51,10 @@ class AlignmentOptions(NamedTuple):
     affine_reg_b: float = 1e8
     reg_decrease: float = 2.0
     reg_increase: float = 10.0
+    # rotation-prior hook (reference eigen_pose_alignment.cpp:39 — e.g. a
+    # gyro-integrated relative rotation): 0 disables; the prior quaternion
+    # is passed per call (align_level rotation_prior_q)
+    rotation_prior_weight: float = 0.0
 
 
 class LevelPoints(NamedTuple):
@@ -74,9 +78,16 @@ class AlignmentResult(NamedTuple):
     rmse: jnp.ndarray       # sqrt(mean residual energy) over valid points
 
 
+def _rotation_prior_residual(t_t_r: SE3, prior_q):
+    """so3 log of R(t) · R(prior)⁻¹ — the left-tangent rotation deviation."""
+    dq = (SE3(t_t_r.q, jnp.zeros_like(t_t_r.t))
+          @ SE3(prior_q, jnp.zeros_like(t_t_r.t)).inverse())
+    return dq.log()[3:]
+
+
 def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
                      affine_ref, exposure_ratio, opts: AlignmentOptions,
-                     with_jacobian: bool, packed=None):
+                     with_jacobian: bool, packed=None, rotation_prior_q=None):
     """Batched residuals (and optionally the 8×8 GN system)."""
     a_t, b_t = affine[0], affine[1]
     a_r, b_r = affine_ref[0], affine_ref[1]
@@ -120,6 +131,12 @@ def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
     # affine prior on the absolute target affine state (state_priors.hpp)
     reg = jnp.asarray([opts.affine_reg_a, opts.affine_reg_b], r.dtype)
     energy = energy + 0.5 * jnp.sum(reg * affine * affine)
+    # rotation prior (eigen_pose_alignment.cpp:39): 0.5·w·‖log(R R_p⁻¹)‖²
+    e_rot = None
+    if opts.rotation_prior_weight > 0.0 and rotation_prior_q is not None:
+        e_rot = _rotation_prior_residual(t_t_r, rotation_prior_q)
+        energy = energy + 0.5 * opts.rotation_prior_weight * jnp.sum(
+            e_rot * e_rot)
 
     if not with_jacobian:
         return energy, num_valid, energies
@@ -148,12 +165,19 @@ def _residual_system(pts: LevelPoints, pixel_map, model, t_t_r: SE3, affine,
     # affine prior system
     h = h.at[6, 6].add(reg[0]).at[7, 7].add(reg[1])
     b = b.at[6].add(reg[0] * affine[0]).at[7].add(reg[1] * affine[1])
+    if e_rot is not None:
+        # left-increment: d log(exp(δ_rot) R R_p⁻¹)/dδ_rot ≈ I at small e
+        w_rot = jnp.asarray(opts.rotation_prior_weight, r.dtype)
+        rows = jnp.arange(3, 6)
+        h = h.at[rows, rows].add(w_rot)
+        b = b.at[3:6].add(w_rot * e_rot)
     return energy, num_valid, (h, b)
 
 
 @partial(jax.jit, static_argnames=("opts",))
 def align_level(pts: LevelPoints, pixel_map, model, t_init: SE3, affine_init,
-                affine_ref, exposure_ratio, opts: AlignmentOptions = AlignmentOptions()):
+                affine_ref, exposure_ratio, opts: AlignmentOptions = AlignmentOptions(),
+                rotation_prior_q=None):
     """LM solve of one pyramid level (jitted; mirrors the reference LM driver).
 
     One residual pass per iteration: each trial evaluation yields energy AND
@@ -170,6 +194,7 @@ def align_level(pts: LevelPoints, pixel_map, model, t_init: SE3, affine_init,
         e, n, (h, b) = _residual_system(
             pts, pixel_map, model, SE3(t_q, t_t), affine, affine_ref,
             exposure_ratio, opts, with_jacobian=True, packed=packed,
+            rotation_prior_q=rotation_prior_q,
         )
         return e, n, h, b
 

@@ -160,3 +160,37 @@ def test_level_jacobian_matches_autodiff_on_affine_image():
 
     np.testing.assert_allclose(hh, h_expected, rtol=1e-6)
     np.testing.assert_allclose(bb, b_expected, rtol=1e-6, atol=1e-8)
+
+
+def test_rotation_prior_hook():
+    """Rotation-prior term (reference eigen_pose_alignment.cpp:39): a
+    strong prior pulls the solved rotation to the prior; weight 0 with a
+    prior quaternion supplied is a strict no-op."""
+    _, pts, maps, models, t_gt = _setup()
+    init = perturbed_pose(t_gt, jax.random.PRNGKey(1))
+    z2 = jnp.zeros(2, jnp.float64)
+
+    base = align_level(pts[0], maps[0], models[0], init, z2, z2, 1.0,
+                       AlignmentOptions())
+
+    # weight 0 + prior passed == no prior at all (python-level skip)
+    off = align_level(pts[0], maps[0], models[0], init, z2, z2, 1.0,
+                      AlignmentOptions(rotation_prior_weight=0.0),
+                      rotation_prior_q=t_gt.q)
+    np.testing.assert_array_equal(np.asarray(off.t_t_r.q),
+                                  np.asarray(base.t_t_r.q))
+
+    # a strong prior at a rotation offset from GT drags the solution there
+    q_prior = (SE3.exp(jnp.asarray([0, 0, 0, 0.05, 0, 0], jnp.float64))
+               @ t_gt).q
+    pulled = align_level(pts[0], maps[0], models[0], init, z2, z2, 1.0,
+                         AlignmentOptions(rotation_prior_weight=1e9),
+                         rotation_prior_q=q_prior)
+    from dsopp_tpu.solvers.pose_alignment import _rotation_prior_residual
+
+    dev_prior = float(jnp.linalg.norm(
+        _rotation_prior_residual(pulled.t_t_r, q_prior)))
+    dev_gt = float(jnp.linalg.norm(
+        _rotation_prior_residual(pulled.t_t_r, t_gt.q)))
+    assert dev_prior < 5e-3, dev_prior          # pinned to the prior...
+    assert dev_gt > 0.04, dev_gt                # ...which is 0.05 off GT
