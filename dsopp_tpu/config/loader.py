@@ -101,6 +101,16 @@ class Application:
         if on_frame is not None:
             obs.add(CallbackObserver(on_frame))
         self.tracker.track.observers.append(obs)
+        try:
+            n = self._run_loop(obs, max_frames)
+        finally:
+            # an exception mid-run must not leak the set: a retried run()
+            # would double-register and fire duplicate events
+            obs.finish(self.tracker)
+            self.tracker.track.observers.remove(obs)
+        return n
+
+    def _run_loop(self, obs, max_frames):
         n = 0
         buffered = []   # frames retained while the FBS initializer runs
         while True:
@@ -156,8 +166,6 @@ class Application:
             self._pipe.finalize()
             self._pipe = None
             self._run_sanity_check()
-        obs.finish(self.tracker)
-        self.tracker.track.observers.remove(obs)
         return n
 
     def _run_sanity_check(self):

@@ -519,9 +519,11 @@ class IOSCamera(NamedTuple):
         fx, fy = focal
         cx, cy = principal
         w, h = float(image_size[0]), float(image_size[1])
-        corners = np.asarray([[0.0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]])
-        max_r = float(np.max(np.linalg.norm(
-            corners - np.asarray([float(cx), float(cy)]), axis=1)))
+        # per-axis max(center, size − center), like the reference ctor
+        # (ios_camera_model.cpp:16-19) — corners taken at (w, h), not (w−1, h−1)
+        rx = max(float(cx), w - float(cx))
+        ry = max(float(cy), h - float(cy))
+        max_r = float(np.hypot(rx, ry))
         return IOSCamera(
             jnp.asarray(fx, dtype), jnp.asarray(fy, dtype),
             jnp.asarray(cx, dtype), jnp.asarray(cy, dtype),
@@ -543,7 +545,9 @@ class IOSCamera(NamedTuple):
         lo = self.lut[idx]
         hi = self.lut[idx + 1]
         mag = lo * (1.0 - frac) + hi * frac + 1.0
-        dmag = (hi - lo) * (n - 1)
+        # constant extension beyond the table → zero slope there
+        dmag = jnp.where((r_ratio >= 0.0) & (r_ratio <= 1.0),
+                         (hi - lo) * (n - 1), 0.0)
         return mag, dmag
 
     def _project_core(self, p3d):
@@ -564,8 +568,11 @@ class IOSCamera(NamedTuple):
         r_ratio = r / self.max_radius
         mag, _ = self._magnifier(r_ratio)
         uv = jnp.stack([sx / mag + self.cx, sy / mag + self.cy], -1)
-        valid = ((z >= MIN_DEPTH) & (r_ratio <= 1.0)
-                 & _inside_roi(uv, self.image_size, border))
+        # no r_ratio gate: the reference projects beyond the LUT range using
+        # the constant-extended last entry (distortion_magnifier.hpp) and
+        # gates only on insideCameraROI; the clip in _magnifier reproduces
+        # the constant extension
+        valid = (z >= MIN_DEPTH) & _inside_roi(uv, self.image_size, border)
         return uv, valid
 
     def project_jacobian(self, p3d, border=BORDER_SIZE):
@@ -593,8 +600,7 @@ class IOSCamera(NamedTuple):
         j12 = -(a01 * self.fx * x + a11 * self.fy * y) * iz2
         j = jnp.stack([j00, j01, j02, j10, j11, j12], -1).reshape(
             x.shape + (2, 3))
-        valid = ((z >= MIN_DEPTH) & (r_ratio <= 1.0)
-                 & _inside_roi(uv, self.image_size, border))
+        valid = (z >= MIN_DEPTH) & _inside_roi(uv, self.image_size, border)
         return uv, j, valid
 
     def unproject(self, uv, gn_iters: int = 7):

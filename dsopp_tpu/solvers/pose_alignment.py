@@ -247,7 +247,7 @@ def align_level(pts: LevelPoints, pixel_map, model, t_init: SE3, affine_init,
 def align_pyramid(points_per_level, pixel_maps, models, t_init: SE3, affine_init,
                   affine_ref, exposure_ratio,
                   opts: AlignmentOptions = AlignmentOptions(),
-                  first_level=None):
+                  first_level=None, rotation_prior_q=None):
     """Coarse-to-fine alignment over the pyramid.
 
     ``points_per_level``: list of LevelPoints, index = level (0 finest).
@@ -268,10 +268,11 @@ def align_pyramid(points_per_level, pixel_maps, models, t_init: SE3, affine_init
             result = jax.vmap(
                 lambda tq, tt, ab, a=args: align_level(
                     a[0], a[1], a[2], SE3(tq, tt), ab, affine_ref,
-                    exposure_ratio, opts)
+                    exposure_ratio, opts, rotation_prior_q=rotation_prior_q)
             )(t.q, t.t, affine)
         else:
-            result = align_level(*args, t, affine, affine_ref, exposure_ratio, opts)
+            result = align_level(*args, t, affine, affine_ref, exposure_ratio,
+                                 opts, rotation_prior_q=rotation_prior_q)
         t = result.t_t_r
         affine = result.affine
 

@@ -152,9 +152,7 @@ def test_run_notifies_observers(dataset):
     assert rec.frames == n and fps.frames == n and fps.fps > 0
     assert rec.kfs >= 1          # device-loop drain fires track events
     assert rec.finished == 1
-    # run() detaches its observer set afterwards
-    app.tracker.track.on_keyframe(999, 9.9)
-    assert rec.kfs >= 1 and 999 not in range(0)  # no further events counted
+    # run() detaches its observer set afterwards: no further events counted
     before = rec.kfs
     app.tracker.track.on_keyframe(1000, 10.0)
     assert rec.kfs == before
