@@ -74,8 +74,15 @@ def make_hybrid_mesh(num_seq: int = 0, num_lm: int = 0) -> Mesh:
         num_lm = local
     if num_seq == 0:
         num_seq = (n_proc * local) // num_lm
-    grid = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(num_seq // n_proc if num_seq >= n_proc else 1, num_lm),
-        dcn_mesh_shape=(n_proc if num_seq >= n_proc else num_seq, 1),
-    )
+    mesh_shape = (num_seq // n_proc if num_seq >= n_proc else 1, num_lm)
+    dcn_shape = (n_proc if num_seq >= n_proc else num_seq, 1)
+    try:
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=mesh_shape, dcn_mesh_shape=dcn_shape)
+    except ValueError:
+        # no slice topology (e.g. multi-process CPU / single-slice TPU):
+        # group by process instead — each process is one DCN granule
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=mesh_shape, dcn_mesh_shape=dcn_shape,
+            process_is_granule=True)
     return Mesh(grid, (SEQ_AXIS, LM_AXIS))
