@@ -1,0 +1,191 @@
+"""End-to-end ATE harness — the mega-performance-test analog.
+
+Mirrors the reference harness
+(/root/reference/test/performance/application/run_mega_performance_test.py:31-56):
+for each dataset, run the full application CLI (config → sensors → FBS/
+precalculated bootstrap → device-loop tracker → track.npz/track.bin), convert
+the saved track to a TUM trajectory (app/track2trajectory), associate against
+ground truth and report ATE statistics (output/ate.py — the evaluate_ate.py
+metric), plus wall-clock per dataset.
+
+Datasets are synthetic corridor sequences (testing/synthetic.py) with varied
+texture seed, motion rate and exposure profile — the environment ships no
+TUM-mono data (zero egress), so this is the end-to-end accuracy gate.
+
+Usage::
+
+    python scripts/run_ate.py [--sequences 3] [--frames 96] [--cpu]
+                              [--out ATE.md]
+
+Writes a markdown table and prints one summary line per sequence.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+YAML = """
+sensors:
+  - id: camera_1
+    type: camera
+    provider:
+      type: image_folder
+      folder: "images"
+      timestamps: "times.txt"
+    model:
+      calibration: "calib.txt"
+{photometric}
+time:
+  type: no_synchronization
+
+tracker:
+  type: monocular
+  sensor_id: camera_1
+  number_of_desired_points: 2000
+  keyframe_strategy:
+    strategy: mean_square_optical_flow
+    factor: 1.25
+  marginalization_strategy:
+    strategy: sparse
+    minimum_size: 5
+    maximum_size: 8
+
+initializer:
+  type: precalculated
+  poses_file: "gt_init.tum"
+  num_frames: {init_frames}
+"""
+
+SEQUENCES = [
+    # (name, seed, advance, exposure profile)
+    ("corridor-a", 7, 0.08, None),
+    ("corridor-b-fast", 11, 0.13, None),
+    ("corridor-c-exposure", 23, 0.06, "vignette"),
+]
+
+
+def build_dataset(root, name, seed, advance, exposure, num_frames, height,
+                  width, focal, init_frames):
+    import cv2
+    import numpy as np
+
+    from dsopp_tpu.output.tum import export_tum
+    from dsopp_tpu.testing import render_sequence
+
+    d = os.path.join(root, name)
+    os.makedirs(os.path.join(d, "images"), exist_ok=True)
+    seq = render_sequence(num_frames=num_frames, height=height, width=width,
+                          focal=focal, seed=seed, advance=advance,
+                          backend="jax")
+    for i in range(num_frames):
+        img = np.clip(np.asarray(seq.images[i]), 0, 255)
+        if exposure == "vignette":
+            # slow global exposure oscillation (affine-brightness stressor)
+            img = np.clip(img * (1.0 + 0.12 * np.sin(0.35 * i)) - 4.0, 0, 255)
+        cv2.imwrite(os.path.join(d, "images", f"{i}.png"),
+                    img.astype(np.uint8))
+    with open(os.path.join(d, "times.txt"), "w") as f:
+        for i in range(num_frames):
+            f.write(f"{i} {float(seq.timestamps[i]):.6f}\n")
+    with open(os.path.join(d, "calib.txt"), "w") as f:
+        f.write(f"pinhole\n{width} {height}\n"
+                f"{focal} {focal} {width/2-0.5} {height/2-0.5}\n")
+    gt = [(float(seq.timestamps[i]),
+           np.asarray(seq.pose_t_wc(i).matrix(), np.float64))
+          for i in range(num_frames)]
+    export_tum(os.path.join(d, "gt_init.tum"), gt[:init_frames])
+    export_tum(os.path.join(d, "gt_full.tum"), gt)
+    with open(os.path.join(d, "mono.yaml"), "w") as f:
+        f.write(YAML.format(photometric="", init_frames=init_frames))
+    return d
+
+
+def evaluate_sequence(dataset_dir, max_frames):
+    import numpy as np
+
+    from dsopp_tpu.app.main import main as app_main
+    from dsopp_tpu.app.track2trajectory import main as t2t_main
+    from dsopp_tpu.output.ate import absolute_trajectory_error
+    from dsopp_tpu.output.tum import load_tum
+
+    track_path = os.path.join(dataset_dir, "track.npz")
+    bin_path = os.path.join(dataset_dir, "track.bin")
+    traj_path = os.path.join(dataset_dir, "trajectory.tum")
+    t0 = time.time()
+    app_main(["--config_file_path", os.path.join(dataset_dir, "mono.yaml"),
+              "--output_file_path", track_path,
+              "--track_bin_path", bin_path]
+             + (["--max_frames", str(max_frames)] if max_frames else []))
+    wall = time.time() - t0
+    t2t_main([track_path, traj_path])
+
+    est = load_tum(traj_path)
+    gt = load_tum(os.path.join(dataset_dir, "gt_full.tum"))
+    stats = absolute_trajectory_error(est, gt, with_scale=True)
+    stats["wall_s"] = wall
+    stats["frames"] = len(est)
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sequences", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--focal", type=float, default=520.0)
+    ap.add_argument("--init-frames", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU float64 oracle run (small shapes advised)")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--workdir", default="/tmp/dsopp_ate")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    rows = []
+    for name, seed, advance, exposure in SEQUENCES[: args.sequences]:
+        d = build_dataset(args.workdir, name, seed, advance, exposure,
+                          args.frames, args.height, args.width, args.focal,
+                          args.init_frames)
+        stats = evaluate_sequence(d, args.frames)
+        rows.append((name, advance, exposure or "-", stats))
+        print(f"{name}: ATE rmse={stats['rmse']:.4f}m "
+              f"mean={stats['mean']:.4f} median={stats['median']:.4f} "
+              f"max={stats['max']:.4f} n={stats['frames']} "
+              f"wall={stats['wall_s']:.1f}s", flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("# ATE — end-to-end accuracy (synthetic corridor suite)\n\n")
+            f.write("Full app path: config → bootstrap → device loop → "
+                    "track.bin → track2trajectory → ATE vs ground truth "
+                    "(scale-aligned, monocular).  Harness: "
+                    "`python scripts/run_ate.py`.  Reference analog: "
+                    "run_mega_performance_test.py.\n\n")
+            f.write("| sequence | advance | exposure | ATE rmse (m) | mean | "
+                    "median | max | frames | wall (s) |\n")
+            f.write("|---|---|---|---|---|---|---|---|---|\n")
+            for name, advance, exposure, s in rows:
+                f.write(f"| {name} | {advance} | {exposure} | "
+                        f"{s['rmse']:.4f} | {s['mean']:.4f} | "
+                        f"{s['median']:.4f} | {s['max']:.4f} | "
+                        f"{s['frames']} | {s['wall_s']:.1f} |\n")
+        print(f"table written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
