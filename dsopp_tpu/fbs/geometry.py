@@ -284,10 +284,12 @@ def so3xs2_refine(pc_ref, pc_tgt, r0, t0, focal, threshold,
         return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
 
     def residuals(params, r_c, t_c, f_c):
+        from dsopp_tpu.solvers.s2 import s2_plus
+
         r = r_c @ rodrigues(params[:3])
-        theta = jnp.arccos(jnp.clip(t_c[2], -1.0 + 1e-12, 1.0 - 1e-12))
-        phi = jnp.arctan2(t_c[1], t_c[0])
-        t = _spherical_to_unit(theta + params[3], phi + params[4])
+        # S2 local parameterization (solvers/s2.py — the standalone analog
+        # of the reference LocalParameterizationS2)
+        t = s2_plus(t_c, params[3:5])
         f = f_c + (params[5] if optimize_focal else 0.0)
         e = hat(t) @ r
         return sampson_distance_pixels(e, pc_ref, pc_tgt, 1.0 / f), (r, t, f)

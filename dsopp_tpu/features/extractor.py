@@ -39,17 +39,38 @@ class Candidates(NamedTuple):
     valid: jnp.ndarray     # [N] bool — slot holds a real point
 
 
+MAX_GRADIENT_BIN = 50  # reference kMaxGradientLength (integer histogram bins)
+
+
 def _region_threshold(g2, factor):
-    """Per-pixel threshold: median g² over the pixel's 32×32 region × factor."""
+    """Per-pixel threshold: histogram-median gradient of the 32×32 region,
+    squared, × factor.
+
+    The reference computes exactly this integer-binned histogram median of
+    the gradient MAGNITUDE per region (eigen_tracking_features_extractor.cpp
+    fillGradientThresholdMap: 50 unit bins, ``computeMedian`` over counts);
+    a sort-based exact median costs ~2.5 ms on the v5e, the binned counts
+    ~0.2 ms, and median commutes with the g→g² monotone map up to the 1-unit
+    bin quantization.
+    """
     h, w = g2.shape
     rh, rw = h // REGION, w // REGION
     crop = g2[: rh * REGION, : rw * REGION]
-    regions = crop.reshape(rh, REGION, rw, REGION).transpose(0, 2, 1, 3)
-    med = jnp.median(regions.reshape(rh, rw, -1), axis=-1)
+    g = jnp.minimum(jnp.sqrt(crop), float(MAX_GRADIENT_BIN - 1))
+    idx = g.astype(jnp.int32)
+    regions = idx.reshape(rh, REGION, rw, REGION).transpose(0, 2, 1, 3)
+    regions = regions.reshape(rh, rw, REGION * REGION)
+    counts = jnp.sum(
+        regions[..., None] == jnp.arange(MAX_GRADIENT_BIN)[None, None, None, :],
+        axis=2)                                          # [rh, rw, 50]
+    csum = jnp.cumsum(counts, axis=-1)
+    half = csum[..., -1:] // 2
+    med = jnp.argmax(csum > half, axis=-1).astype(g2.dtype)
+    thr = med * med * factor
     # broadcast back to full size (edge pixels take the nearest region)
     yy = jnp.clip(jnp.arange(h) // REGION, 0, rh - 1)
     xx = jnp.clip(jnp.arange(w) // REGION, 0, rw - 1)
-    return med[yy[:, None], xx[None, :]] * factor
+    return thr[yy[:, None], xx[None, :]]
 
 
 @partial(jax.jit, static_argnames=("num_points", "block", "border"))

@@ -13,6 +13,7 @@ as the reference's ``height/2`` integer division does).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dsopp_tpu.core.interpolate import build_pixel_map
@@ -25,14 +26,17 @@ def downscale(image):
     """2×2 average downscale, [..., H, W] → [..., H//2, W//2].
 
     Matches reference downscaleImage (downscale_image.hpp:16-33).
+    Implemented as one ``reduce_window`` — the stride-2 lane slicing of the
+    naive form costs ~3.7 ms at VGA on the v5e (lane-shuffle bound) vs
+    ~0.13 ms for the window reduction.
     """
     h = (image.shape[-2] // 2) * 2
     w = (image.shape[-1] // 2) * 2
     im = image[..., :h, :w]
-    return 0.25 * (
-        im[..., 0::2, 0::2] + im[..., 0::2, 1::2]
-        + im[..., 1::2, 0::2] + im[..., 1::2, 1::2]
-    )
+    k = im.ndim - 2
+    return 0.25 * jax.lax.reduce_window(
+        im, jnp.zeros((), im.dtype), jax.lax.add,
+        (1,) * k + (2, 2), (1,) * k + (2, 2), "VALID")
 
 
 def build_pyramid(image, num_levels: int = NUM_PYRAMID_LEVELS):

@@ -1,0 +1,124 @@
+"""Patch-table sampling — ONE 128-lane gather per pattern group.
+
+The BA/refine residual pass needs (intensity, dx, dy) bilinearly sampled at
+every reprojected pattern point: K·K·N·P ≈ 200k scattered samples per
+evaluation.  Measured gather cost on the v5e is dominated by ROW COUNT, and
+a row whose lane width is EXACTLY one physical tile (128 f32 lanes) fetches
+at full tile-copy speed:
+
+    take 200k rows × 12 f32 (corner-packed, r2 layout):  ~1.5–4 ms
+    take  25k rows × 128 f32 (this layout):              ~0.17 ms
+
+So instead of one row per sample, this module packs, per image pixel, the
+10×10 intensity window centered on it into one 128-lane row ([H·W, 128],
+lanes 100..127 zero).  The 8 pattern points of one (anchor, target,
+landmark) group cluster within a few pixels, so ONE row fetch per group
+yields every corner AND the ±1 gradient halo; bilinear values and the
+precomputed-central-difference gradients are then reconstructed in-register:
+
+    value(p)  = Σ_corners w_c · I[c]
+    dx(p)     = Σ_corners w_c · ½(I[c+(1,0)] − I[c−(1,0)])
+    dy(p)     = Σ_corners w_c · ½(I[c+(0,1)] − I[c−(0,1)])
+
+— numerically identical (same formulas, fp-reassociated) to sampling the
+[3, H, W] pixel map of interpolate.build_pixel_map at interior pixels.
+Points whose corners+halo escape the 10×10 window (extreme warp) are
+reported invalid; callers already require ≥4 px ROI border for validity
+(camera BORDER_SIZE), which this window covers at warp stretch ≤ ~1.5×.
+
+Reference analog: PixelMap::Evaluate over a PatternPatch
+(src/features/include/features/camera/pixel_map.hpp:227-300) — the
+reference's contiguous Eigen layout exploits the same pattern locality
+through the CPU cache; here it is explicit in the row layout and sized to
+the TPU's (8, 128) tile.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+PATCH_WIN = 10      # window side: pattern ±2, bilinear +1, gradient halo ±1
+PATCH_LO = 4        # window top-left = floor(center) − PATCH_LO
+PATCH_LANES = 128   # one physical f32 tile row
+
+
+def pack_patch_table(image):
+    """[H, W] intensity image → [H·W, 128] per-pixel 10×10 window rows.
+
+    Row p (pixel y, x) holds pixels (y−4..y+5, x−4..x+5) dy-major in lanes
+    0..99 (zeros outside the image), lanes 100..127 zero.  Built as one
+    patch-extraction convolution (no padded per-shift temporaries).
+    """
+    h, w = image.shape
+    hi = PATCH_WIN - 1 - PATCH_LO
+    patches = jax.lax.conv_general_dilated_patches(
+        image[None, None], (PATCH_WIN, PATCH_WIN), (1, 1),
+        [(PATCH_LO, hi), (PATCH_LO, hi)])          # [1, 100, H, W]
+    t = patches.reshape(PATCH_WIN * PATCH_WIN, h * w).T
+    return jnp.pad(t, ((0, 0), (0, PATCH_LANES - PATCH_WIN * PATCH_WIN)))
+
+
+def _axis_weights(frac, idx):
+    """One-hot bilinear weights along one window axis.
+
+    ``idx`` [..., P] in-window integer position, ``frac`` [..., P] ∈ [0, 1).
+    Returns w [..., P, 10] with (1−f) at idx and f at idx+1, plus the
+    central-difference weight profile wg[u] = ½·(w[u−1] − w[u+1]).
+    """
+    grid = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (PATCH_WIN,),
+                                    idx.ndim)
+    w = (jnp.where(grid == idx[..., None], (1.0 - frac)[..., None], 0.0)
+         + jnp.where(grid == idx[..., None] + 1, frac[..., None], 0.0))
+    zero = jnp.zeros_like(w[..., :1])
+    wg = 0.5 * (jnp.concatenate([zero, w[..., :-1]], axis=-1)
+                - jnp.concatenate([w[..., 1:], zero], axis=-1))
+    return w, wg
+
+
+def sample_pattern_patch(table, uv, center, height, width):
+    """Values + gradients of a pattern group from one patch-table row.
+
+    ``table``: [H·W, 128]; ``uv``: [..., P, 2] pattern positions;
+    ``center``: [..., 2] group center (chooses the row).
+    Returns (vals [..., P], gx [..., P], gy [..., P], inside [..., P]).
+    """
+    dtype = table.dtype
+    x = uv[..., 0]
+    y = uv[..., 1]
+    inside = (x >= 0) & (y >= 0) & (x <= width - 1) & (y <= height - 1)
+    ix = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, width - 2)
+    iy = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, height - 2)
+    fx = x - ix.astype(dtype)
+    fy = y - iy.astype(dtype)
+
+    # row = the pixel under the group center (its window starts at −PATCH_LO)
+    cx = jnp.clip(jnp.floor(center[..., 0]).astype(jnp.int32), 0, width - 1)
+    cy = jnp.clip(jnp.floor(center[..., 1]).astype(jnp.int32), 0, height - 1)
+    rows = jnp.take(table, cy * width + cx, axis=0)      # [..., 128]
+    win = rows[..., : PATCH_WIN * PATCH_WIN].reshape(
+        rows.shape[:-1] + (PATCH_WIN, PATCH_WIN))        # [..., 10y, 10x]
+
+    bx = cx - PATCH_LO
+    by = cy - PATCH_LO
+    dxi = ix - bx[..., None]                              # [..., P]
+    dyi = iy - by[..., None]
+    # corners at dxi..dxi+1 plus the ±1 gradient halo must stay in-window
+    in_win = (dxi >= 1) & (dxi <= PATCH_WIN - 3) & \
+             (dyi >= 1) & (dyi <= PATCH_WIN - 3)
+
+    dxi = jnp.clip(dxi, 1, PATCH_WIN - 3)
+    dyi = jnp.clip(dyi, 1, PATCH_WIN - 3)
+    wx, wxg = _axis_weights(fx, dxi)                      # [..., P, 10]
+    wy, wyg = _axis_weights(fy, dyi)
+
+    # contract y then x (and x then y for dy) — mul+sum over the 10-axis;
+    # XLA fuses the broadcast products into the reduction (no [P,10,10]
+    # materialization), and the 10-dim never touches the MXU
+    win_b = win[..., None, :, :]                          # [..., 1, 10y, 10x]
+    tmp_y = jnp.sum(win_b * wy[..., :, :, None], axis=-2)   # [..., P, 10x]
+    tmp_x = jnp.sum(win_b * wx[..., :, None, :], axis=-1)   # [..., P, 10y]
+    vals = jnp.sum(tmp_y * wx, axis=-1)                     # [..., P]
+    gx = jnp.sum(tmp_y * wxg, axis=-1)
+    gy = jnp.sum(tmp_x * wyg, axis=-1)
+    return vals, gx, gy, inside & in_win

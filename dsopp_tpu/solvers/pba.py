@@ -46,9 +46,11 @@ import numpy as np
 
 from dsopp_tpu.core import df64
 from dsopp_tpu.core.lie import SE3
-from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
+from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
 from dsopp_tpu.ops import pack_corners, sample_packed
+from dsopp_tpu.ops.patch import (PATCH_LANES, pack_patch_table,
+                                 sample_pattern_patch)
 from dsopp_tpu.solvers.measure import huber_energy_weight
 
 # residual connection statuses (reference track::PointConnectionStatus)
@@ -126,6 +128,10 @@ class Window:
 
     # per-frame level-0 pixel maps [K, 3, H, W]
     maps: jnp.ndarray
+    # per-frame patch tables [K, H*W, 128] (ops/patch.py): one 128-lane row
+    # per pixel holding its 10x10 intensity window — the residual pass
+    # fetches ONE row per (anchor, target, landmark) pattern group
+    patch: jnp.ndarray
 
     @property
     def num_slots(self):
@@ -185,6 +191,8 @@ def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float
         b_marg_lo=jnp.zeros((k * BLOCK,), dtype),
         energy_marg_lo=jnp.zeros((), dtype),
         maps=jnp.zeros((k,) + tuple(map_shape), dtype),
+        patch=jnp.zeros((k, map_shape[-2] * map_shape[-1], PATCH_LANES),
+                        dtype),
     )
 
 
@@ -247,8 +255,9 @@ class Evaluation(NamedTuple):
     energy_patch: jnp.ndarray  # [K,K,N] huber patch energy
     weight: jnp.ndarray        # [K,K,N] huber weight (0 where dead)
     status_candidate: jnp.ndarray  # [K,K,N] int32
-    grad: jnp.ndarray          # [K,K,N,P,2] target image gradients at projection
-    ok: jnp.ndarray            # [K,K,N] live mask
+    gx: jnp.ndarray            # [K,K,N,P] target image x-gradient at projection
+    gy: jnp.ndarray            # [K,K,N,P] (separate fields: a trailing 2-dim
+    ok: jnp.ndarray            # [K,K,N]    would lane-pad 64x on TPU)
 
 
 def _pair_mask(window: Window):
@@ -260,16 +269,21 @@ def _pair_mask(window: Window):
 def pack_window_maps(window: Window):
     """Corner-pack every frame slot's pixel map → [K, H*W, 12].
 
-    Done ONCE per solve (outside the LM loop) — the packed layout turns the
-    4-corner x 3-channel scattered gather of ``_evaluate`` into one row
-    gather per sample point (dsopp_tpu.ops.sample, 4.5x measured).
+    Retained for the non-group sampling paths (kept API); the BA residual
+    pass itself now rides the per-pixel patch tables stored in
+    ``Window.patch`` (ops/patch.py — one 128-lane row per pattern group,
+    ~20x fewer gather rows than per-sample corner rows).
     """
     return jax.vmap(pack_corners)(window.maps)
 
 
 def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
-              with_gradients: bool, packed_maps=None) -> Evaluation:
-    """Residuals of every (anchor i, target j, landmark n) at state (eps, idepth)."""
+              with_gradients: bool = True, packed_maps=None) -> Evaluation:
+    """Residuals of every (anchor i, target j, landmark n) at state (eps, idepth).
+
+    One patch-table row gather per (i, j, n) group yields values AND
+    gradients (``with_gradients``/``packed_maps`` kept for API compat)."""
+    del with_gradients, packed_maps
     t_ji = _relative_poses(window.t_lin_q, window.t_lin_t, eps[:, :6])
     affine = window.affine0 + eps[:, 6:]
     ratio = window.exposure[None, :] / jnp.maximum(window.exposure[:, None], 1e-12)
@@ -281,22 +295,21 @@ def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
     t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
     rp = reproject(model, model, uv, d, t_b)                       # [K,K,N,P]
 
-    # sample target maps: vmap over the target axis j (packed row gather)
-    if packed_maps is None:
-        packed_maps = pack_window_maps(window)
+    # ONE patch-row gather per (i, j, n) group from target j's table
     h, w = window.maps.shape[-2:]
+    center = rp.uv[..., PATTERN_CENTER, :]                         # [K,K,N,2]
 
-    def sample_target(packed, uv_t):
-        return sample_packed(packed, uv_t, h, w)
+    def sample_target(table, uv_t, c_t):
+        return sample_pattern_patch(table, uv_t, c_t, h, w)
 
-    vals, inside = jax.vmap(sample_target, in_axes=(0, 1), out_axes=1)(
-        packed_maps, rp.uv
-    )                                                              # [K,K,N,P,3]
+    vals, gx, gy, inside = jax.vmap(
+        sample_target, in_axes=(0, 1, 1), out_axes=1
+    )(window.patch, rp.uv, center)                                 # [K,K,N,P]
 
     corrected_ref = scale[:, :, None, None] * (
         window.lm_patch[:, None] - affine[:, None, None, None, 1]
     )
-    r = (vals[..., 0] - affine[None, :, None, None, 1]) - corrected_ref
+    r = (vals - affine[None, :, None, None, 1]) - corrected_ref
 
     geom_ok = jnp.all(rp.valid & inside, axis=-1)                  # [K,K,N]
     pair = _pair_mask(window)
@@ -314,7 +327,7 @@ def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
     energy = jnp.where(ok, energy, 0.0)
     weight = jnp.where(ok, weight, 0.0)
 
-    return Evaluation(r, energy, weight, candidate, vals[..., 1:], ok)
+    return Evaluation(r, energy, weight, candidate, gx, gy, ok)
 
 
 def _prior_system(window: Window, eps, opts: PBAOptions, marg_pass=False):
@@ -383,8 +396,8 @@ def _linearize_from_ev(window: Window, fej: FEJCache, ev: Evaluation, eps,
     ok = ev.ok & fej.geom_valid
     w = jnp.where(ok, ev.weight, 0.0)
 
-    gx = ev.grad[..., 0]
-    gy = ev.grad[..., 1]
+    gx = ev.gx
+    gy = ev.gy
     # pose part of J (chain rule with FEJ geometry, current gradients)
     j_ref_pose = gx[..., None] * fej.d_uv_ref[..., 0, :] + gy[..., None] * fej.d_uv_ref[..., 1, :]
     j_tgt_pose = gx[..., None] * fej.d_uv_tgt[..., 0, :] + gy[..., None] * fej.d_uv_tgt[..., 1, :]
@@ -587,19 +600,16 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
     lm_mask = active_lm_mask(window)
     ledger_empty = jnp.max(jnp.abs(window.h_marg)) == 0.0
     dtype = window.eps.dtype
-    # corner-pack the window maps ONCE per solve; every residual pass in the
-    # LM loop is then a single row gather per sample (ops/sample.py)
-    packed = pack_window_maps(window)
 
     def with_state(tq, tt, ab0, idep_lin, status):
         return dataclasses.replace(
             window, t_lin_q=tq, t_lin_t=tt, affine0=ab0,
             lm_idepth=idep_lin, res_status=status)
 
-    # one evaluation WITH gradients: feeds both the initial energy and the
-    # first linearization (the gather already fetches all 3 channels)
+    # one evaluation: feeds both the initial energy and the first
+    # linearization (the patch-row gather yields values AND gradients)
     ev0 = _evaluate(window, model, window.eps, window.lm_idepth, lm_mask,
-                    opts, with_gradients=True, packed_maps=packed)
+                    opts)
     e0, n0 = _energy_from_ev(window, ev0, window.eps, opts)
     fej0 = _fej_cache(window, model)
 
@@ -629,8 +639,7 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
         eps_new, idepth_new, pose_sq, d_sq = _solve_step(
             win, sys, eps, idepth, lam, opts)
         step_sq = pose_sq + d_sq
-        ev_new = _evaluate(win, model, eps_new, idepth_new, lm_mask, opts,
-                           with_gradients=True, packed_maps=packed)
+        ev_new = _evaluate(win, model, eps_new, idepth_new, lm_mask, opts)
         e_new, n_new = _energy_from_ev(win, ev_new, eps_new, opts)
         cand = ev_new.status_candidate
 
@@ -688,7 +697,7 @@ def _solve_loop_device(window: Window, model, opts: PBAOptions):
     )
 
     status, baseline, inliers, outlier, opt_count = _point_status_kernel(
-        out, model, opts, packed_maps=packed)
+        out, model, opts)
     out = dataclasses.replace(
         out, res_status=status, lm_baseline=baseline,
         lm_inliers=inliers, lm_outlier=outlier, lm_opt_count=opt_count)
@@ -867,6 +876,7 @@ def _permute_window(window: Window, perm, drop_marg):
         lm_baseline=window.lm_baseline[perm],
         res_status=window.res_status[perm][:, perm],
         maps=window.maps[perm],
+        patch=window.patch[perm],
     )
 
 
@@ -1050,6 +1060,7 @@ def _push_frame_kernel(window: Window, slot, pose_q, pose_t, affine, exposure,
         lm_baseline=window.lm_baseline.at[slot].set(0.0),
         res_status=status,
         maps=window.maps.at[slot].set(pixel_map),
+        patch=window.patch.at[slot].set(pack_patch_table(pixel_map[0])),
     )
 
 

@@ -28,15 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from dsopp_tpu.core.lie import SE3
-from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
-from dsopp_tpu.ops import sample_packed
+from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
+from dsopp_tpu.ops.patch import sample_pattern_patch
 from dsopp_tpu.solvers.pba import (
     RES_OK,
     Window,
     _relative_poses,
     active_lm_mask,
-    pack_window_maps,
 )
 from dsopp_tpu.tracker.depth_estimation import (
     STATUS_GOOD,
@@ -122,9 +121,12 @@ REFINE_REG_DEC = 2.0
 REFINE_REG_INC = 5.0
 
 
-@partial(jax.jit, static_argnames=("huber_sigma",))
+REFINE_CAP = 512  # compacted candidate slots per keyframe tick
+
+
+@partial(jax.jit, static_argnames=("huber_sigma", "cap"))
 def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
-                          activate, huber_sigma: float):
+                          activate, huber_sigma: float, cap: int = REFINE_CAP):
     """Idepth refinement of to-activate points (the REFINE template path).
 
     Mirrors ``optimizeImmatureLandmark`` / ``LandmarkActivationProblem``
@@ -135,56 +137,78 @@ def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
     ending with idepth < 0 or fewer than min(1, K−1) inlier residuals are
     deleted instead of activated.
 
-    Batched TPU redesign: all [K_anchor, N] landmarks refine simultaneously;
-    each evaluation is one [K, K, N, P] reproject+sample pass returning
-    energy AND the scalar GN system (single pass per LM iteration).
+    TPU redesign (r4): only the ≤``cap`` ACTIVATING candidates refine — the
+    bank-wide [K,K,N_imm,P] pass burned ~75 ms/keyframe refining points
+    that were never activated.  Candidates compact into a fixed [cap] bank
+    (index-ranked, like the activation scatter), refine against all window
+    frames as a [cap, K, P] pass, and scatter back.  Activations beyond
+    ``cap`` in one tick stay immature until the next keyframe (the density
+    controller absorbs the difference; typical per-tick activations are
+    well under the cap).
     """
     k = window.num_slots
+    m = imm.uv.shape[1]
     dtype = imm.idepth.dtype
-    t_ji = _relative_poses(window.t_lin_q, window.t_lin_t,
-                           window.eps[:, :6])               # [i, j]
+
+    # ---- compact the activating candidates into [cap] slots -------------
+    flat_act = activate.reshape(-1)
+    n_flat = k * m
+    order = jnp.argsort(jnp.where(flat_act, jnp.arange(n_flat),
+                                  n_flat + jnp.arange(n_flat)))[:cap]
+    sel = flat_act[order]                                   # [cap]
+    host = order // m                                       # [cap] anchor slot
+    uv = imm.uv.reshape(n_flat, -1)[order]                  # [cap, 2]
+    patch0 = imm.patch.reshape(n_flat, -1)[order]           # [cap, P]
+    idepth0 = imm.idepth.reshape(n_flat)[order]             # [cap]
+
+    poses = window.poses()
+    t_inv = poses.inverse()
+    # T_j⁻¹ · T_host per (candidate, target j): [cap, K]
+    t_cj = SE3(t_inv.q[None, :, :], t_inv.t[None, :, :]).compose(
+        SE3(poses.q[host][:, None, :], poses.t[host][:, None, :]))
     affine = window.affine()
-    ratio = window.exposure[None, :] / jnp.maximum(window.exposure[:, None], 1e-12)
-    scale = ratio * jnp.exp(affine[None, :, 0] - affine[:, None, 0])  # [i, j]
-    pair = (window.frame_valid[:, None] & window.frame_valid[None, :]
-            & ~jnp.eye(k, dtype=bool))
+    ratio = window.exposure[None, :] / jnp.maximum(
+        window.exposure[host][:, None], 1e-12)              # [cap, K]
+    scale = ratio * jnp.exp(affine[None, :, 0] - affine[host][:, None, 0])
+    pair = (window.frame_valid[None, :] & sel[:, None]
+            & (jnp.arange(k)[None, :] != host[:, None]))    # [cap, K]
 
-    pattern = shift_pattern(imm.uv)                          # [K, N, P, 2]
-    t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
-    corrected = scale[:, :, None, None] * (
-        imm.patch[:, None] - affine[:, None, None, None, 1])
+    pattern = shift_pattern(uv)                             # [cap, P, 2]
+    t_b = SE3(t_cj.q[:, :, None, :], t_cj.t[:, :, None, :])  # [cap, K, 1]
+    corrected = scale[:, :, None] * (
+        patch0[:, None] - affine[host][:, None, None, 1])   # [cap, K, P]
 
-    packed_maps = pack_window_maps(window)                   # [K, H*W, 12]
     h_px, w_px = window.maps.shape[-2:]
 
     def eval_full(idepth):
         rj = reproject_jacobian(
-            model, model, pattern[:, None], idepth[:, None, :, None], t_b)
-        vals, inside = jax.vmap(
-            lambda m, uv: sample_packed(m, uv, h_px, w_px),
-            in_axes=(0, 1), out_axes=1,
-        )(packed_maps, rj.uv)                                # [K,K,N,P,3]
-        ok = jnp.all(rj.valid & inside, axis=-1) & pair[:, :, None]
+            model, model, pattern[:, None], idepth[:, None, None], t_b)
+        center = rj.uv[..., PATTERN_CENTER, :]               # [cap, K, 2]
+        vals, gxs, gys, inside = jax.vmap(
+            lambda t, uvs, c: sample_pattern_patch(t, uvs, c, h_px, w_px),
+            in_axes=(0, 1, 1), out_axes=1,
+        )(window.patch, rj.uv, center)                       # [cap, K, P]
+        ok = jnp.all(rj.valid & inside, axis=-1) & pair
 
-        r = (vals[..., 0] - affine[None, :, None, None, 1]) - corrected
+        r = (vals - affine[None, :, None, 1]) - corrected
         r = jnp.where(ok[..., None], r, 0.0)
-        r2 = jnp.sum(r * r, axis=-1)                         # [K,K,N]
+        r2 = jnp.sum(r * r, axis=-1)                         # [cap, K]
         rnorm = jnp.sqrt(jnp.maximum(r2, 1e-30))
         w = jnp.where(rnorm > huber_sigma, huber_sigma / rnorm, 1.0)
         inlier = ok & (r2 < MAX_ENERGY_FOR_INLIERS)
         e_term = jnp.where(inlier, w * r2,
                            jnp.where(ok, MAX_ENERGY_FOR_INLIERS, 0.0))
-        energy = jnp.sum(e_term, axis=1)                     # [K, N]
-        inliers = jnp.sum(inlier, axis=1)                    # [K, N]
+        energy = jnp.sum(e_term, axis=1)                     # [cap]
+        inliers = jnp.sum(inlier, axis=1)                    # [cap]
 
-        d = (vals[..., 1] * rj.d_uv_d_idepth[..., 0]
-             + vals[..., 2] * rj.d_uv_d_idepth[..., 1])      # [K,K,N,P]
+        d = (gxs * rj.d_uv_d_idepth[..., 0]
+             + gys * rj.d_uv_d_idepth[..., 1])               # [cap, K, P]
         d = jnp.where(ok[..., None], d, 0.0)
-        h = jnp.sum(w[..., None] * d * d, axis=(1, 3))       # [K, N]
-        b = jnp.sum(w[..., None] * d * r, axis=(1, 3))
+        h = jnp.sum(w[..., None] * d * d, axis=(1, 2))       # [cap]
+        b = jnp.sum(w[..., None] * d * r, axis=(1, 2))
         return energy, inliers, h, b
 
-    idepth = imm.idepth
+    idepth = idepth0
     e, inliers, h, b = eval_full(idepth)
 
     def body(it, carry):
@@ -206,8 +230,14 @@ def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
         0, REFINE_ITERATIONS, body, (idepth, e, inliers, h, b, lam0))
 
     min_inliers = jnp.minimum(1, jnp.sum(window.frame_valid) - 1)
-    keep = activate & (inliers >= min_inliers) & (idepth > 0)
-    return jnp.where(keep, idepth, imm.idepth), keep
+    keep_c = sel & (inliers >= min_inliers) & (idepth > 0)   # [cap]
+
+    # ---- scatter back to the [K, N_imm] banks ----------------------------
+    idep_flat = imm.idepth.reshape(n_flat)
+    idep_flat = idep_flat.at[order].set(
+        jnp.where(keep_c, idepth, idep_flat[order]))
+    keep_flat = jnp.zeros((n_flat,), bool).at[order].set(keep_c)
+    return idep_flat.reshape(k, m), keep_flat.reshape(k, m)
 
 
 @jax.jit

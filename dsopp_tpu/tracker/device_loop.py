@@ -134,7 +134,8 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
         state.depth_weight[0], poses.q, poses.t, window.affine(), kf_slot,
         state.immature, state.last_q, state.last_t, state.prev_q,
         state.prev_t, state.last_affine, models, cfg.align_opts,
-        cfg.with_perturbations, cfg.num_levels, cfg.huber_sigma)
+        cfg.with_perturbations, cfg.num_levels, cfg.huber_sigma,
+        rmse_last0=state.rmse_last0)
 
     # ---- frontend reliability gate (monocular_tracker.cpp:185) ---------
     rmse = out.rmse

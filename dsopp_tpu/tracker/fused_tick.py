@@ -21,7 +21,8 @@ from dsopp_tpu.features.pyramid import build_pyramid_maps
 from dsopp_tpu.solvers.pose_alignment import AlignmentOptions, align_level
 from dsopp_tpu.tracker.depth_estimation import estimate_depths
 from dsopp_tpu.tracker.depth_map import mean_square_optical_flow
-from dsopp_tpu.tracker.monocular import _initialization_hypotheses
+from dsopp_tpu.tracker.monocular import (ENERGY_RATIO_THRESHOLD,
+                                         _initialization_hypotheses)
 
 
 class FusedTickResult(NamedTuple):
@@ -37,6 +38,7 @@ class FusedTickResult(NamedTuple):
     t_t_kf_q: jnp.ndarray
     t_t_kf_t: jnp.ndarray
     t_kf_frame_mat: jnp.ndarray  # 4x4 keyframe→frame (attach bookkeeping)
+    escalated: jnp.ndarray     # bool — perturbation re-track ran this tick
 
 
 @partial(jax.jit, static_argnames=("align_opts", "with_perturbations",
@@ -59,6 +61,7 @@ def fused_regular_tick(
     with_perturbations: bool,
     num_levels: int,
     huber_sigma: float,
+    rmse_last0=None,       # frontend reliability ledger (escalation gate)
 ) -> FusedTickResult:
     dtype = image.dtype
     maps = build_pyramid_maps(image, num_levels)
@@ -66,30 +69,67 @@ def fused_regular_tick(
     # ---- batched hypothesis alignment, coarse → fine ------------------
     kf_q = window_poses_q[kf_slot]
     kf_t = window_poses_t[kf_slot]
-    hyps = _initialization_hypotheses(
+
+    def run_hypotheses(hyps: SE3):
+        t_w_kf = SE3(jnp.broadcast_to(kf_q, hyps.q.shape),
+                     jnp.broadcast_to(kf_t, hyps.t.shape))
+        t = hyps.inverse().compose(t_w_kf)  # hypotheses of new ← keyframe
+        affine = jnp.broadcast_to(last_affine, t.q.shape[:1] + (2,))
+        result = None
+        for level in range(num_levels - 1, -1, -1):
+            result = jax.vmap(
+                lambda tq, tt, ab, lvl=level: align_level(
+                    level_points[lvl], maps[lvl], models[lvl], SE3(tq, tt),
+                    ab, last_affine, 1.0, align_opts)
+            )(t.q, t.t, affine)
+            t = result.t_t_r
+            affine = result.affine
+        score = jnp.where(result.num_valid > 0, result.energy, jnp.inf)
+        best = jnp.argmin(score)
+        return (result.t_t_r.q[best], result.t_t_r.t[best],
+                result.affine[best], result.rmse[best],
+                result.num_valid[best], score[best])
+
+    base = _initialization_hypotheses(
         SE3(last_q, last_t), SE3(prev_q, prev_t), SE3(kf_q, kf_t),
-        with_perturbations, dtype)
-    t_w_kf = SE3(jnp.broadcast_to(kf_q, hyps.q.shape),
-                 jnp.broadcast_to(kf_t, hyps.t.shape))
-    t = hyps.inverse().compose(t_w_kf)      # hypotheses of new ← keyframe
-    affine = jnp.broadcast_to(last_affine, t.q.shape[:1] + (2,))
+        False, dtype)
+    bq, bt, b_affine, b_rmse, b_valid, b_score = run_hypotheses(base)
 
-    result = None
-    for level in range(num_levels - 1, -1, -1):
-        result = jax.vmap(
-            lambda tq, tt, ab, lvl=level: align_level(
-                level_points[lvl], maps[lvl], models[lvl], SE3(tq, tt), ab,
-                last_affine, 1.0, align_opts)
-        )(t.q, t.t, affine)
-        t = result.t_t_r
-        affine = result.affine
+    escalated = jnp.asarray(False)
+    if with_perturbations:
+        # reference semantics (monocular_tracker.cpp:137-243): the ±1..3°
+        # rotation-perturbed re-track runs only when the plain
+        # initializations FAIL the reliability gate — under lax.cond the
+        # steady state never pays for it, and the failure tick runs all
+        # perturbations as one batch (strictly stronger than the
+        # reference's sequential first-success scan).
+        thr = jnp.asarray(jnp.inf if rmse_last0 is None else
+                          ENERGY_RATIO_THRESHOLD * rmse_last0, dtype)
+        failed = (b_valid == 0) | (b_rmse >= thr)
 
-    score = jnp.where(result.num_valid > 0, result.energy, jnp.inf)
-    best = jnp.argmin(score)
-    t_t_kf = SE3(result.t_t_r.q[best], result.t_t_r.t[best])
-    best_affine = result.affine[best]
-    rmse = result.rmse[best]
-    num_valid = result.num_valid[best]
+        def escalate(_):
+            pert = _initialization_hypotheses(
+                SE3(last_q, last_t), SE3(prev_q, prev_t), SE3(kf_q, kf_t),
+                True, dtype)
+            return run_hypotheses(pert)
+
+        def keep(_):
+            return bq, bt, b_affine, b_rmse, b_valid, b_score
+
+        eq, et, e_affine, e_rmse, e_valid, e_score = jax.lax.cond(
+            failed, escalate, keep, None)
+        take = e_score < b_score
+        bq = jnp.where(take, eq, bq)
+        bt = jnp.where(take, et, bt)
+        b_affine = jnp.where(take, e_affine, b_affine)
+        b_rmse = jnp.where(take, e_rmse, b_rmse)
+        b_valid = jnp.where(take, e_valid, b_valid)
+        escalated = failed
+
+    t_t_kf = SE3(bq, bt)
+    best_affine = b_affine
+    rmse = b_rmse
+    num_valid = b_valid
 
     t_w_t = SE3(kf_q, kf_t) @ t_t_kf.inverse()
 
@@ -114,5 +154,5 @@ def fused_regular_tick(
         maps=maps, pose_q=t_w_t.q, pose_t=t_w_t.t, affine=best_affine,
         rmse=rmse, num_valid=num_valid, flow=flow, flow_no_rot=flow_nr,
         immature=immature, t_t_kf_q=t_t_kf.q, t_t_kf_t=t_t_kf.t,
-        t_kf_frame_mat=t_t_kf.inverse().matrix(),
+        t_kf_frame_mat=t_t_kf.inverse().matrix(), escalated=escalated,
     )

@@ -318,7 +318,8 @@ class MonocularTracker:
             self.t_prev_rel.q, self.t_prev_rel.t,
             self.last_affine, tuple(self.models),
             self.align_opts, self.config.use_rotation_perturbations,
-            self.config.pyramid_levels, self.config.huber_sigma)
+            self.config.pyramid_levels, self.config.huber_sigma,
+            rmse_last0=jnp.asarray(self.rmse_last[0], self.dtype))
 
         # single batched readback of the scalar summaries + attach matrix
         rmse, num_valid, flow, flow_nr, t_kf_frame_mat = jax.device_get(

@@ -115,6 +115,12 @@ def main():
             maps=jnp.broadcast_to(jnp.stack([img, img * 0.1, img * 0.1]),
                                   (K, 3, H, W)).astype(jnp.float32) + 0.0,
         )
+        from dsopp_tpu.ops.patch import pack_patch_table
+
+        win = dataclasses.replace(
+            win, patch=jnp.broadcast_to(
+                pack_patch_table(img), (K,) + pack_patch_table(img).shape
+            ).astype(jnp.float32) + 0.0)
         popts = PBAOptions()
         mask = active_lm_mask(win)
         fj = jax.jit(lambda w_: _fej_cache(w_, cam))
