@@ -76,14 +76,25 @@ def _axis_weights(frac, idx):
     return w, wg
 
 
-def sample_pattern_patch(table, uv, center, height, width):
-    """Values + gradients of a pattern group from one patch-table row.
+def patch_center_row(center, height, width):
+    """Row index + window base for a group center [..., 2].
 
-    ``table``: [H·W, 128]; ``uv``: [..., P, 2] pattern positions;
-    ``center``: [..., 2] group center (chooses the row).
+    Returns (row [...], bx [...], by [...]) — ``row`` indexes a [H·W, 128]
+    table (add ``frame·H·W`` for a flat multi-frame bank).
+    """
+    cx = jnp.clip(jnp.floor(center[..., 0]).astype(jnp.int32), 0, width - 1)
+    cy = jnp.clip(jnp.floor(center[..., 1]).astype(jnp.int32), 0, height - 1)
+    return cy * width + cx, cx - PATCH_LO, cy - PATCH_LO
+
+
+def sample_pattern_rows(rows, uv, bx, by, height, width):
+    """Pattern values + gradients from already-fetched window rows.
+
+    ``rows``: [..., 128] patch rows; ``uv``: [..., P, 2]; ``bx``/``by``:
+    window base from :func:`patch_center_row`.
     Returns (vals [..., P], gx [..., P], gy [..., P], inside [..., P]).
     """
-    dtype = table.dtype
+    dtype = rows.dtype
     x = uv[..., 0]
     y = uv[..., 1]
     inside = (x >= 0) & (y >= 0) & (x <= width - 1) & (y <= height - 1)
@@ -92,15 +103,9 @@ def sample_pattern_patch(table, uv, center, height, width):
     fx = x - ix.astype(dtype)
     fy = y - iy.astype(dtype)
 
-    # row = the pixel under the group center (its window starts at −PATCH_LO)
-    cx = jnp.clip(jnp.floor(center[..., 0]).astype(jnp.int32), 0, width - 1)
-    cy = jnp.clip(jnp.floor(center[..., 1]).astype(jnp.int32), 0, height - 1)
-    rows = jnp.take(table, cy * width + cx, axis=0)      # [..., 128]
     win = rows[..., : PATCH_WIN * PATCH_WIN].reshape(
         rows.shape[:-1] + (PATCH_WIN, PATCH_WIN))        # [..., 10y, 10x]
 
-    bx = cx - PATCH_LO
-    by = cy - PATCH_LO
     dxi = ix - bx[..., None]                              # [..., P]
     dyi = iy - by[..., None]
     # corners at dxi..dxi+1 plus the ±1 gradient halo must stay in-window
@@ -122,3 +127,15 @@ def sample_pattern_patch(table, uv, center, height, width):
     gx = jnp.sum(tmp_y * wxg, axis=-1)
     gy = jnp.sum(tmp_x * wyg, axis=-1)
     return vals, gx, gy, inside & in_win
+
+
+def sample_pattern_patch(table, uv, center, height, width):
+    """Values + gradients of a pattern group from one patch-table row.
+
+    ``table``: [H·W, 128]; ``uv``: [..., P, 2] pattern positions;
+    ``center``: [..., 2] group center (chooses the row).
+    Returns (vals [..., P], gx [..., P], gy [..., P], inside [..., P]).
+    """
+    row, bx, by = patch_center_row(center, height, width)
+    rows = jnp.take(table, row, axis=0)                   # [..., 128]
+    return sample_pattern_rows(rows, uv, bx, by, height, width)

@@ -22,7 +22,7 @@ _WINDOW_FIELDS = [
     "lm_idepth", "lm_valid", "lm_marg_flag", "lm_outlier", "lm_inliers",
     "lm_opt_count", "lm_baseline", "res_status", "h_marg", "b_marg",
     "energy_marg", "h_marg_lo", "b_marg_lo", "energy_marg_lo", "maps",
-    "patch",
+    "patch", "patch_map",
 ]
 _IMM_FIELDS = [
     "uv", "patch", "gradient", "idepth_min", "idepth_max", "status",

@@ -58,7 +58,7 @@ def _window_specs() -> Window:
         res_status=res,
         h_marg=P(), b_marg=P(), energy_marg=P(),
         h_marg_lo=P(), b_marg_lo=P(), energy_marg_lo=P(),
-        maps=frame, patch=frame,
+        maps=frame, patch=frame, patch_map=frame,
     )
 
 

@@ -63,7 +63,7 @@ def window_pspec(batched: bool = True) -> Window:
         res_status=res,
         h_marg=spec(), b_marg=spec(), energy_marg=spec(),
         h_marg_lo=spec(), b_marg_lo=spec(), energy_marg_lo=spec(),
-        maps=frame, patch=frame,
+        maps=frame, patch=frame, patch_map=frame,
     )
 
 

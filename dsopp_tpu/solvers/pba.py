@@ -50,7 +50,7 @@ from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
 from dsopp_tpu.ops import pack_corners, sample_packed
 from dsopp_tpu.ops.patch import (PATCH_LANES, pack_patch_table,
-                                 sample_pattern_patch)
+                                 patch_center_row, sample_pattern_rows)
 from dsopp_tpu.solvers.measure import huber_energy_weight
 
 # residual connection statuses (reference track::PointConnectionStatus)
@@ -128,10 +128,14 @@ class Window:
 
     # per-frame level-0 pixel maps [K, 3, H, W]
     maps: jnp.ndarray
-    # per-frame patch tables [K, H*W, 128] (ops/patch.py): one 128-lane row
-    # per pixel holding its 10x10 intensity window — the residual pass
-    # fetches ONE row per (anchor, target, landmark) pattern group
+    # patch tables [K, H*W, 128] (ops/patch.py): one 128-lane row per pixel
+    # holding its 10x10 intensity window — the residual pass fetches ONE
+    # row per (anchor, target, landmark) pattern group.  Storage is
+    # SLOT-INDIRECT: logical frame slot j's table is physical row bank
+    # ``patch_map[j]`` — frame permutation swaps the tiny index vector, not
+    # the 1.5 GB bank
     patch: jnp.ndarray
+    patch_map: jnp.ndarray    # [K] int32 logical slot → physical bank
 
     @property
     def num_slots(self):
@@ -193,6 +197,7 @@ def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float
         maps=jnp.zeros((k,) + tuple(map_shape), dtype),
         patch=jnp.zeros((k, map_shape[-2] * map_shape[-1], PATCH_LANES),
                         dtype),
+        patch_map=jnp.arange(k, dtype=jnp.int32),
     )
 
 
@@ -295,16 +300,15 @@ def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
     t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
     rp = reproject(model, model, uv, d, t_b)                       # [K,K,N,P]
 
-    # ONE patch-row gather per (i, j, n) group from target j's table
+    # ONE patch-row gather per (i, j, n) group from target j's table:
+    # the target axis folds into the flat row index through patch_map
+    # (slot-indirect storage), so the whole [K,K,N] fetch is one gather
     h, w = window.maps.shape[-2:]
     center = rp.uv[..., PATTERN_CENTER, :]                         # [K,K,N,2]
-
-    def sample_target(table, uv_t, c_t):
-        return sample_pattern_patch(table, uv_t, c_t, h, w)
-
-    vals, gx, gy, inside = jax.vmap(
-        sample_target, in_axes=(0, 1, 1), out_axes=1
-    )(window.patch, rp.uv, center)                                 # [K,K,N,P]
+    row, bx, by = patch_center_row(center, h, w)
+    row = row + window.patch_map[None, :, None] * (h * w)
+    rows = jnp.take(window.patch.reshape(-1, PATCH_LANES), row, axis=0)
+    vals, gx, gy, inside = sample_pattern_rows(rows, rp.uv, bx, by, h, w)
 
     corrected_ref = scale[:, :, None, None] * (
         window.lm_patch[:, None] - affine[:, None, None, None, 1]
@@ -876,7 +880,7 @@ def _permute_window(window: Window, perm, drop_marg):
         lm_baseline=window.lm_baseline[perm],
         res_status=window.res_status[perm][:, perm],
         maps=window.maps[perm],
-        patch=window.patch[perm],
+        patch_map=window.patch_map[perm],
     )
 
 
@@ -1060,7 +1064,8 @@ def _push_frame_kernel(window: Window, slot, pose_q, pose_t, affine, exposure,
         lm_baseline=window.lm_baseline.at[slot].set(0.0),
         res_status=status,
         maps=window.maps.at[slot].set(pixel_map),
-        patch=window.patch.at[slot].set(pack_patch_table(pixel_map[0])),
+        patch=window.patch.at[window.patch_map[slot]].set(
+            pack_patch_table(pixel_map[0])),
     )
 
 

@@ -30,7 +30,7 @@ import numpy as np
 from dsopp_tpu.core.lie import SE3
 from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
-from dsopp_tpu.ops.patch import sample_pattern_patch
+from dsopp_tpu.ops.patch import patch_center_row, sample_pattern_rows
 from dsopp_tpu.solvers.pba import (
     RES_OK,
     Window,
@@ -184,10 +184,12 @@ def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
         rj = reproject_jacobian(
             model, model, pattern[:, None], idepth[:, None, None], t_b)
         center = rj.uv[..., PATTERN_CENTER, :]               # [cap, K, 2]
-        vals, gxs, gys, inside = jax.vmap(
-            lambda t, uvs, c: sample_pattern_patch(t, uvs, c, h_px, w_px),
-            in_axes=(0, 1, 1), out_axes=1,
-        )(window.patch, rj.uv, center)                       # [cap, K, P]
+        row, bx, by = patch_center_row(center, h_px, w_px)
+        row = row + window.patch_map[None, :] * (h_px * w_px)
+        rows = jnp.take(window.patch.reshape(-1, window.patch.shape[-1]),
+                        row, axis=0)
+        vals, gxs, gys, inside = sample_pattern_rows(
+            rows, rj.uv, bx, by, h_px, w_px)                 # [cap, K, P]
         ok = jnp.all(rj.valid & inside, axis=-1) & pair
 
         r = (vals - affine[None, :, None, 1]) - corrected
