@@ -127,13 +127,7 @@ def depth_map_level_points(idepth_map, weight_map, pixel_map, max_points: int):
     h, w = idepth_map.shape
     flat_w = weight_map.reshape(-1)
     k = min(max_points, flat_w.shape[0])
-    if flat_w.shape[0] > 4 * k:
-        # TPU-optimized approximate top-k (recall ≥ ~0.95): exact ordering
-        # among equal-weight pixels is arbitrary anyway, and the exact sort
-        # costs ~2-4 ms at VGA level 0
-        top_w, idx = jax.lax.approx_max_k(flat_w, k, recall_target=0.95)
-    else:
-        top_w, idx = jax.lax.top_k(flat_w, k)
+    top_w, idx = jax.lax.top_k(flat_w, k)
     ys = (idx // w).astype(idepth_map.dtype)
     xs = (idx % w).astype(idepth_map.dtype)
     uv = jnp.stack([xs, ys], axis=-1)
