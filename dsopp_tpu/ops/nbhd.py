@@ -42,12 +42,18 @@ def pack_neighborhood(channel_map):
     under ``vmap`` XLA laid out as [B, H*W, 1] buffers — 128× lane padding,
     ~600 MB per copy at VGA (measured OOM on a 16 GB chip at B=4).  The
     conv lowers to a single fused patch gather with no padded temporaries.
+
+    r4: rows are zero-padded 64 → 128 lanes — a gathered row that is
+    EXACTLY one (8, 128) f32 tile fetches at tile-copy speed (~4× the
+    partial-tile rate, PERF.md §1.2), and the epipolar sweep fetches 256k
+    rows per tick.
     """
     h, w = channel_map.shape
     patches = jax.lax.conv_general_dilated_patches(
         channel_map[None, None], (WIN, WIN), (1, 1),
         [(0, WIN - 1), (0, WIN - 1)])                   # [1, WIN*WIN, H, W]
-    return patches.reshape(WIN * WIN, h * w).T          # [HW, 64]
+    t = patches.reshape(WIN * WIN, h * w).T             # [HW, 64]
+    return jnp.pad(t, ((0, 0), (0, 128 - WIN * WIN)))
 
 
 def sample_nbhd(nb, uv, center, height, width):
@@ -59,7 +65,7 @@ def sample_nbhd(nb, uv, center, height, width):
     matches interpolate.bilinear_weights; points escaping the window are
     invalid (see module docstring).
     """
-    dtype = nb.dtype
+    dtype = uv.dtype   # compute dtype; nb rows may be stored bf16
     x = uv[..., 0]
     y = uv[..., 1]
     inside = (x >= 0) & (y >= 0) & (x <= width - 1) & (y <= height - 1)
@@ -72,7 +78,8 @@ def sample_nbhd(nb, uv, center, height, width):
                   0, width - WIN)
     by = jnp.clip(jnp.floor(center[..., 1]).astype(jnp.int32) - (WIN // 2 - 1),
                   0, height - WIN)
-    rows = jnp.take(nb, by * width + bx, axis=0)        # [..., 36]
+    rows = jnp.take(nb, by * width + bx, axis=0)        # [..., 128]
+    rows = rows[..., : WIN * WIN]                        # drop tile padding
 
     dx = ix - bx[..., None]                              # [..., P]
     dy = iy - by[..., None]
@@ -83,7 +90,11 @@ def sample_nbhd(nb, uv, center, height, width):
           + jnp.where(grid == dx[..., None] + 1, fx[..., None], 0.0))
     wy = (jnp.where(grid == dy[..., None], (1.0 - fy)[..., None], 0.0)
           + jnp.where(grid == dy[..., None] + 1, fy[..., None], 0.0))
-    wgt = (wy[..., :, None] * wx[..., None, :]).reshape(
-        dx.shape + (WIN * WIN,)).astype(dtype)           # [..., P, 36]
-    vals = jnp.einsum("...pw,...w->...p", wgt, rows)
+    # factorized y-then-x contraction: the [..., P, WIN²] outer-product
+    # weight build moved ~0.5 GB/tick at the sweep's 256k-group scale
+    win2 = rows.astype(dtype).reshape(
+        rows.shape[:-1] + (WIN, WIN))                     # [..., WINy, WINx]
+    tmp = jnp.sum(win2[..., None, :, :] * wy[..., :, :, None].astype(dtype),
+                  axis=-2)                                # [..., P, WINx]
+    vals = jnp.sum(tmp * wx.astype(dtype), axis=-1)       # [..., P]
     return vals, inside & in_win

@@ -69,15 +69,19 @@ def pack_corners(pixel_map):
     return corners.transpose(2, 1, 0).reshape(h * w, 4 * c)
 
 
-def sample_packed(packed, uv, height, width):
+def sample_packed(packed, uv, height, width, channels=None):
     """Sample a packed-corner map at ``uv [..., 2]`` → (``[..., C]``, inside).
 
     Bit-for-bit the same result as ``interpolate.sample`` on the unpacked
     map: the per-corner weighted sum runs in the same corner order.
+    ``channels``: real channel count when the rows carry zero tile padding
+    beyond ``4*channels`` lanes (a row that is exactly one (8, 128) tile
+    fetches ~4× faster than a 12-lane partial row).
     """
     base, weights, inside = _corner_base(uv, height, width)
-    rows = jnp.take(packed, base, axis=0)               # [..., 4C]
-    rows = rows.reshape(rows.shape[:-1] + (4, packed.shape[-1] // 4))
+    rows = jnp.take(packed, base, axis=0)               # [..., 4C(+pad)]
+    c = packed.shape[-1] // 4 if channels is None else channels
+    rows = rows[..., : 4 * c].reshape(rows.shape[:-1] + (4, c))
     weights = weights.astype(packed.dtype)
     out = jnp.einsum("...kc,...k->...c", rows, weights)
     return out, inside

@@ -126,11 +126,15 @@ def estimate_depths(
     dtype = points.uv.dtype
     h_px, w_px = target_map.shape[-2:]
     # corner-pack the target map once (subpixel GN refinement needs
-    # value+gradients); the SSD sweep — the N·S·P bulk of the gathers —
-    # reads intensity only (depth_estimation.cpp:36-77) through the
-    # neighborhood layout: ONE central gather per (landmark, sample)
-    # instead of one per pattern point (ops/nbhd.py, 8x fewer rows)
-    packed = pack_corners(target_map)
+    # value+gradients), zero-padded to one (8,128) tile per row — a full-
+    # tile row fetches ~4x faster than the 12-lane partial row; the SSD
+    # sweep — the N·S·P bulk of the gathers — reads intensity only
+    # (depth_estimation.cpp:36-77) through the neighborhood layout: ONE
+    # central gather per (landmark, sample) instead of one per pattern
+    # point (ops/nbhd.py).  (A bf16 sweep table was measured 3.4 ms
+    # cheaper but cost 18→32 mm e2e ATE — the SSD winner/uniqueness/
+    # status gates are NOT robust to ±0.5-level quantization; rejected.)
+    packed = jnp.pad(pack_corners(target_map), ((0, 0), (0, 128 - 12)))
     nb_i = pack_neighborhood(target_map[0])
 
     active = points.valid & (
@@ -229,7 +233,7 @@ def estimate_depths(
     def gn_iter(carry, _):
         delta, e_best, best_delta = carry
         pat = pattern_best - delta[:, None, None] * dir_unit[:, None, :]
-        vals, inside = sample_packed(packed, pat, h_px, w_px)
+        vals, inside = sample_packed(packed, pat, h_px, w_px, channels=3)
         it, gx, gy = vals[..., 0], vals[..., 1], vals[..., 2]
         r = (it - affine_tgt[1]) - corrected_ref
         w = huber_sigma / jnp.maximum(jnp.abs(r), huber_sigma)

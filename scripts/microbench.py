@@ -27,14 +27,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, reps=20, warmup=2):
+def timeit(fn, *args, reps=50, warmup=2):
+    # hard barrier: block_until_ready does NOT block on the tunneled axon
+    # device (see scripts/truebench.py) — fetch one scalar instead
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     return (time.time() - t0) / reps * 1e3  # ms
 
 
