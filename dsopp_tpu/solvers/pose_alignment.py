@@ -277,8 +277,14 @@ def align_pyramid(points_per_level, pixel_maps, models, t_init: SE3, affine_init
         affine = result.affine
 
     if batched:
-        # pick the hypothesis with the best final energy (valid-count tiebreak)
-        score = jnp.where(result.num_valid > 0, result.energy, jnp.inf)
+        # pick the hypothesis with the best PER-POINT energy among those
+        # keeping at least half the best valid count (a spurious minimum
+        # that drops most points can have a lower summed energy; the
+        # reference's per-try acceptance gates on rmse)
+        nv = result.num_valid
+        nv_floor = jnp.maximum(1, jnp.max(nv) // 2)
+        score = jnp.where(nv >= nv_floor,
+                          result.energy / jnp.maximum(nv, 1), jnp.inf)
         best = jnp.argmin(score)
         result = jax.tree_util.tree_map(lambda x: x[best], result)
     return result

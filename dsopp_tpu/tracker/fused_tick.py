@@ -84,7 +84,14 @@ def fused_regular_tick(
             )(t.q, t.t, affine)
             t = result.t_t_r
             affine = result.affine
-        score = jnp.where(result.num_valid > 0, result.energy, jnp.inf)
+        # score by PER-POINT energy with a valid-count floor: a spurious
+        # minimum that drops most points can have a lower SUMMED energy
+        # than the true pose (the reference's per-try acceptance gates on
+        # rmse, not total energy — monocular_tracker.cpp:185)
+        nv = result.num_valid
+        nv_floor = jnp.maximum(1, jnp.max(nv) // 2)
+        score = jnp.where(nv >= nv_floor,
+                          result.energy / jnp.maximum(nv, 1), jnp.inf)
         best = jnp.argmin(score)
         return (result.t_t_r.q[best], result.t_t_r.t[best],
                 result.affine[best], result.rmse[best],
