@@ -59,6 +59,19 @@ def pack_patch_table(image):
     return jnp.pad(t, ((0, 0), (0, PATCH_LANES - PATCH_WIN * PATCH_WIN)))
 
 
+def pack_patch_table_c(channels):
+    """[C, H, W] embedder channels → [C·H·W, 128] channel-major table.
+
+    Channel c's rows occupy the block ``c·H·W .. (c+1)·H·W`` — the
+    residual pass fetches C rows per pattern group via
+    ``(frame·C + c)·H·W + pixel`` flat indices (C=1 reduces to
+    :func:`pack_patch_table`).  Reference analog: the ``template <int C>``
+    PixelMap (pixel_map.hpp:17) carrying frame-embedder channels
+    (frame_embedding_extractor.hpp).
+    """
+    return jnp.concatenate([pack_patch_table(ch) for ch in channels])
+
+
 def _axis_weights(frac, idx):
     """One-hot bilinear weights along one window axis.
 

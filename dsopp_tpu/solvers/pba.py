@@ -50,7 +50,8 @@ from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
 from dsopp_tpu.ops import pack_corners, sample_packed
 from dsopp_tpu.ops.patch import (PATCH_LANES, pack_patch_table,
-                                 patch_center_row, sample_pattern_rows)
+                                 pack_patch_table_c, patch_center_row,
+                                 sample_pattern_rows)
 from dsopp_tpu.solvers.measure import huber_energy_weight
 
 # residual connection statuses (reference track::PointConnectionStatus)
@@ -103,7 +104,7 @@ class Window:
 
     # landmark slots [K, N] anchored at their frame
     lm_uv: jnp.ndarray        # [K, N, 2]
-    lm_patch: jnp.ndarray     # [K, N, P]
+    lm_patch: jnp.ndarray     # [K, N, C*P] channel-major reference patches
     lm_idepth: jnp.ndarray    # [K, N]
     lm_valid: jnp.ndarray     # [K, N] bool — slot holds an active landmark
     lm_marg_flag: jnp.ndarray  # [K, N] bool — flagged for marginalization
@@ -128,14 +129,22 @@ class Window:
 
     # per-frame level-0 pixel maps [K, 3, H, W]
     maps: jnp.ndarray
-    # patch tables [K, H*W, 128] (ops/patch.py): one 128-lane row per pixel
-    # holding its 10x10 intensity window — the residual pass fetches ONE
-    # row per (anchor, target, landmark) pattern group.  Storage is
+    # patch tables [K, C*H*W, 128] (ops/patch.py): one 128-lane row per
+    # (pixel, channel) holding its 10x10 window — the residual pass fetches
+    # C rows per (anchor, target, landmark) pattern group.  C=1 is the
+    # shipped intensity configuration (standart.yaml: frame_embedder off);
+    # C>1 carries embedder channels (reference pixel_map.hpp:17
+    # template<int C> through local_frame.hpp 8C residuals).  Storage is
     # SLOT-INDIRECT: logical frame slot j's table is physical row bank
     # ``patch_map[j]`` — frame permutation swaps the tiny index vector, not
     # the 1.5 GB bank
     patch: jnp.ndarray
     patch_map: jnp.ndarray    # [K] int32 logical slot → physical bank
+
+    @property
+    def num_channels(self):
+        h, w = self.maps.shape[-2:]
+        return self.patch.shape[1] // (h * w)
 
     @property
     def num_slots(self):
@@ -165,8 +174,10 @@ class Window:
         return cached
 
 
-def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float32) -> Window:
-    k, n, p = num_frames, num_landmarks, PATTERN_SIZE
+def empty_window(num_frames: int, num_landmarks: int, map_shape,
+                 dtype=jnp.float32, channels: int = 1) -> Window:
+    k, n = num_frames, num_landmarks
+    p = PATTERN_SIZE * channels
     qeye = jnp.zeros((k, 4), dtype).at[:, 0].set(1.0)
     return Window(
         t_lin_q=qeye,
@@ -195,8 +206,9 @@ def empty_window(num_frames: int, num_landmarks: int, map_shape, dtype=jnp.float
         b_marg_lo=jnp.zeros((k * BLOCK,), dtype),
         energy_marg_lo=jnp.zeros((), dtype),
         maps=jnp.zeros((k,) + tuple(map_shape), dtype),
-        patch=jnp.zeros((k, map_shape[-2] * map_shape[-1], PATCH_LANES),
-                        dtype),
+        patch=jnp.zeros(
+            (k, channels * map_shape[-2] * map_shape[-1], PATCH_LANES),
+            dtype),
         patch_map=jnp.arange(k, dtype=jnp.int32),
     )
 
@@ -209,7 +221,7 @@ class FEJCache(NamedTuple):
     d_uv_ref: jnp.ndarray    # [K,K,N,P,2,6] d(uv_t)/dε_anchor at linearization
     d_uv_tgt: jnp.ndarray    # [K,K,N,P,2,6]
     d_uv_idepth: jnp.ndarray  # [K,K,N,P,2]
-    corrected_ref: jnp.ndarray  # [K,K,N,P] s0·(patch − b0_i) (frozen affine col)
+    corrected_ref: jnp.ndarray  # [K,K,N,C,P] s0·(patch − b0_i) (frozen affine col)
     scale0: jnp.ndarray      # [K,K] frozen brightness scale
     geom_valid: jnp.ndarray  # [K,K,N] reprojection-jacobian validity
 
@@ -238,8 +250,10 @@ def _fej_cache(window: Window, model) -> FEJCache:
     rj = reproject_jacobian(model, model, uv, idepth, t_b)
     ratio = window.exposure[None, :] / jnp.maximum(window.exposure[:, None], 1e-12)
     scale0 = ratio * jnp.exp(window.affine0[None, :, 0] - window.affine0[:, None, 0])
-    corrected = scale0[:, :, None, None] * (
-        window.lm_patch[:, None] - window.affine0[:, None, None, None, 1]
+    patch_ref = window.lm_patch.reshape(
+        k, window.num_landmark_slots, window.num_channels, PATTERN_SIZE)
+    corrected = scale0[:, :, None, None, None] * (
+        patch_ref[:, None] - window.affine0[:, None, None, None, None, 1]
     )
     return FEJCache(
         d_uv_ref=rj.d_uv_d_eps_ref,
@@ -256,13 +270,13 @@ def _fej_cache(window: Window, model) -> FEJCache:
 # ---------------------------------------------------------------------------
 
 class Evaluation(NamedTuple):
-    residuals: jnp.ndarray     # [K,K,N,P]
+    residuals: jnp.ndarray     # [K,K,N,C,P]
     energy_patch: jnp.ndarray  # [K,K,N] huber patch energy
     weight: jnp.ndarray        # [K,K,N] huber weight (0 where dead)
     status_candidate: jnp.ndarray  # [K,K,N] int32
-    gx: jnp.ndarray            # [K,K,N,P] target image x-gradient at projection
-    gy: jnp.ndarray            # [K,K,N,P] (separate fields: a trailing 2-dim
-    ok: jnp.ndarray            # [K,K,N]    would lane-pad 64x on TPU)
+    gx: jnp.ndarray            # [K,K,N,C,P] target x-gradient at projection
+    gy: jnp.ndarray            # [K,K,N,C,P] (separate fields: a trailing
+    ok: jnp.ndarray            # [K,K,N]      2-dim would lane-pad 64x)
 
 
 def _pair_mask(window: Window):
@@ -300,20 +314,28 @@ def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
     t_b = SE3(t_ji.q[:, :, None, None, :], t_ji.t[:, :, None, None, :])
     rp = reproject(model, model, uv, d, t_b)                       # [K,K,N,P]
 
-    # ONE patch-row gather per (i, j, n) group from target j's table:
-    # the target axis folds into the flat row index through patch_map
-    # (slot-indirect storage), so the whole [K,K,N] fetch is one gather
+    # ONE patch-row gather per (i, j, n, channel) group from target j's
+    # table: the target and channel axes fold into the flat row index
+    # through patch_map (slot-indirect storage) — one gather total
     h, w = window.maps.shape[-2:]
+    k, n_lm = window.num_slots, window.num_landmark_slots
+    c = window.num_channels
     center = rp.uv[..., PATTERN_CENTER, :]                         # [K,K,N,2]
     row, bx, by = patch_center_row(center, h, w)
-    row = row + window.patch_map[None, :, None] * (h * w)
+    row = (row[..., None]
+           + window.patch_map[None, :, None, None] * (c * h * w)
+           + jnp.arange(c)[None, None, None, :] * (h * w))        # [K,K,N,C]
     rows = jnp.take(window.patch.reshape(-1, PATCH_LANES), row, axis=0)
-    vals, gx, gy, inside = sample_pattern_rows(rows, rp.uv, bx, by, h, w)
+    vals, gx, gy, inside = sample_pattern_rows(
+        rows, rp.uv[..., None, :, :], bx[..., None], by[..., None], h, w
+    )                                                              # [K,K,N,C,P]
+    inside = inside[..., 0, :]                                     # per-point
 
-    corrected_ref = scale[:, :, None, None] * (
-        window.lm_patch[:, None] - affine[:, None, None, None, 1]
+    patch_ref = window.lm_patch.reshape(k, n_lm, c, PATTERN_SIZE)
+    corrected_ref = scale[:, :, None, None, None] * (
+        patch_ref[:, None] - affine[:, None, None, None, None, 1]
     )
-    r = (vals - affine[None, :, None, None, 1]) - corrected_ref
+    r = (vals - affine[None, :, None, None, None, 1]) - corrected_ref
 
     geom_ok = jnp.all(rp.valid & inside, axis=-1)                  # [K,K,N]
     pair = _pair_mask(window)
@@ -325,9 +347,12 @@ def _evaluate(window: Window, model, eps, idepth, lm_mask, opts: PBAOptions,
     ).astype(jnp.int32)
 
     ok = live & geom_ok & status_ok
-    r = jnp.where(ok[..., None], r, 0.0)
-    r2 = jnp.sum(r * r, axis=-1)
-    energy, weight = huber_energy_weight(r2, opts.huber_sigma)
+    r = jnp.where(ok[..., None, None], r, 0.0)
+    # whole-patch Huber over all C·P residuals with σ·√C (the reference's
+    # kHuberLossSigma × √C scaling, local_frame.hpp 8C residual blocks)
+    r2 = jnp.sum(r * r, axis=(-2, -1))
+    energy, weight = huber_energy_weight(
+        r2, opts.huber_sigma * float(c) ** 0.5)
     energy = jnp.where(ok, energy, 0.0)
     weight = jnp.where(ok, weight, 0.0)
 
@@ -400,22 +425,34 @@ def _linearize_from_ev(window: Window, fej: FEJCache, ev: Evaluation, eps,
     ok = ev.ok & fej.geom_valid
     w = jnp.where(ok, ev.weight, 0.0)
 
-    gx = ev.gx
+    gx = ev.gx                                           # [K,K,N,C,P]
     gy = ev.gy
-    # pose part of J (chain rule with FEJ geometry, current gradients)
-    j_ref_pose = gx[..., None] * fej.d_uv_ref[..., 0, :] + gy[..., None] * fej.d_uv_ref[..., 1, :]
-    j_tgt_pose = gx[..., None] * fej.d_uv_tgt[..., 0, :] + gy[..., None] * fej.d_uv_tgt[..., 1, :]
+    # pose part of J (chain rule with FEJ geometry, current gradients);
+    # the FEJ geometry is per pattern POINT — broadcast over channels
+    # (reference local_frame.hpp: 8C residual rows share the 8 point
+    # reprojection Jacobians, one per channel block)
+    d_ref = fej.d_uv_ref[:, :, :, None]                  # [K,K,N,1,P,2,6]
+    d_tgt = fej.d_uv_tgt[:, :, :, None]
+    j_ref_pose = gx[..., None] * d_ref[..., 0, :] + gy[..., None] * d_ref[..., 1, :]
+    j_tgt_pose = gx[..., None] * d_tgt[..., 0, :] + gy[..., None] * d_tgt[..., 1, :]
     # affine cols (frozen, evaluate_jacobians.hpp tail):
     #   d/da_i = +corrected0, d/db_i = +scale0, d/da_j = −corrected0, d/db_j = −1
     ones = jnp.ones_like(fej.corrected_ref)
     j_ref = jnp.concatenate(
         [j_ref_pose, fej.corrected_ref[..., None],
-         (fej.scale0[:, :, None, None] * ones)[..., None]], axis=-1)
+         (fej.scale0[:, :, None, None, None] * ones)[..., None]], axis=-1)
     j_tgt = jnp.concatenate(
         [j_tgt_pose, -fej.corrected_ref[..., None], -ones[..., None]], axis=-1)
-    j_d = gx * fej.d_uv_idepth[..., 0] + gy * fej.d_uv_idepth[..., 1]  # [K,K,N,P]
+    j_d = (gx * fej.d_uv_idepth[:, :, :, None, :, 0]
+           + gy * fej.d_uv_idepth[:, :, :, None, :, 1])  # [K,K,N,C,P]
 
-    r = ev.residuals
+    # fold the channel axis into the residual axis: C·P rows of 8 cols
+    cp = j_ref.shape[-3] * j_ref.shape[-2]
+    kk, nn = j_ref.shape[0], j_ref.shape[2]
+    j_ref = j_ref.reshape(kk, kk, nn, cp, BLOCK)
+    j_tgt = j_tgt.reshape(kk, kk, nn, cp, BLOCK)
+    j_d = j_d.reshape(kk, kk, nn, cp)
+    r = ev.residuals.reshape(kk, kk, nn, cp)
     wj_ref = w[..., None, None] * j_ref
     wj_tgt = w[..., None, None] * j_tgt
 
@@ -1032,8 +1069,12 @@ def marginalize(window: Window, model, opts: PBAOptions = PBAOptions(),
 
 @jax.jit
 def _push_frame_kernel(window: Window, slot, pose_q, pose_t, affine, exposure,
-                       fixed, frame_id, uv, patch, idep, lm_count, pixel_map):
-    """Device-side frame insertion (single program)."""
+                       fixed, frame_id, uv, patch, idep, lm_count, pixel_map,
+                       embed):
+    """Device-side frame insertion (single program).
+
+    ``embed``: [C, H, W] channels feeding the patch tables — the intensity
+    plane for C=1, frame-embedder channels otherwise."""
     n = window.num_landmark_slots
     valid = jnp.arange(n) < lm_count
     uv = jnp.where(valid[:, None], uv, 0.0)
@@ -1065,7 +1106,7 @@ def _push_frame_kernel(window: Window, slot, pose_q, pose_t, affine, exposure,
         res_status=status,
         maps=window.maps.at[slot].set(pixel_map),
         patch=window.patch.at[window.patch_map[slot]].set(
-            pack_patch_table(pixel_map[0])),
+            pack_patch_table_c(embed)),
     )
 
 
@@ -1080,18 +1121,24 @@ def push_frame(
     lm_uv=None,
     lm_patch=None,
     lm_idepth=None,
+    embed_channels=None,
 ) -> Window:
     """Insert a keyframe into the next free slot with its active landmarks.
 
     Residual statuses for all pairs involving the new frame start Ok
     (photometric_bundle_adjustment.cpp pushFrame wires ResidualPoint lists
     from connection statuses; new connections start Ok).
+
+    ``embed_channels``: [C, H, W] frame-embedder channels for a C>1 window
+    (``lm_patch`` then carries [N, C·P] channel-major patches); defaults
+    to the intensity plane of ``pixel_map`` (C=1).
     """
     slot = window.frame_count()
     k, n = window.num_slots, window.num_landmark_slots
     if slot >= k:
         raise ValueError("window full — marginalize before pushing")
     dtype = window.lm_uv.dtype
+    patch_width = window.lm_patch.shape[-1]
 
     num_lm = 0 if lm_uv is None else min(lm_uv.shape[0], n)
 
@@ -1101,12 +1148,16 @@ def push_frame(
             x = jnp.concatenate([x, jnp.zeros((n - x.shape[0],) + trailing, dtype)])
         return x[:n]
 
+    pixel_map = jnp.asarray(pixel_map, dtype)
+    embed = (pixel_map[:1] if embed_channels is None
+             else jnp.asarray(embed_channels, dtype))
+
     out = _push_frame_kernel(
         window, jnp.asarray(slot, jnp.int32),
         jnp.asarray(t_w_c.q, dtype), jnp.asarray(t_w_c.t, dtype),
         jnp.asarray(affine, dtype), jnp.asarray(exposure, dtype),
         jnp.asarray(fixed), jnp.asarray(frame_id, jnp.int32),
-        pad(lm_uv, (2,)), pad(lm_patch, (PATTERN_SIZE,)), pad(lm_idepth, ()),
-        jnp.asarray(num_lm, jnp.int32), jnp.asarray(pixel_map, dtype))
+        pad(lm_uv, (2,)), pad(lm_patch, (patch_width,)), pad(lm_idepth, ()),
+        jnp.asarray(num_lm, jnp.int32), pixel_map, embed)
     object.__setattr__(out, "_frame_count_cache", slot + 1)
     return out

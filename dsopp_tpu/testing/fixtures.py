@@ -67,12 +67,16 @@ def build_test_window(
     idepth_noise: float = 0.0,
     seed: int = 0,
     dtype=jnp.float64,
+    embedder=None,
 ):
     """Sliding-window PBA problem seeded from GT (SolverTestData analog).
 
     Keyframes at ``frame_ids`` with GT poses (optionally perturbed, first
     frame fixed and exact), landmarks from the candidate extractor with GT
-    inverse depth (optionally perturbed).
+    inverse depth (optionally perturbed).  ``embedder``: optional frame
+    embedder (features/embedder.py) — the window then carries C-channel
+    patch tables and [N, C·P] reference patches (reference
+    pixel_map.hpp:17 template<int C>).
     """
     from dsopp_tpu.core.interpolate import build_pixel_map, sample
     from dsopp_tpu.core.pattern import shift_pattern
@@ -80,15 +84,26 @@ def build_test_window(
     from dsopp_tpu.solvers.pba import Window, empty_window, push_frame
 
     h, w = seq.images[0].shape
-    window = empty_window(slots, num_landmarks, (3, h, w), dtype=dtype)
+    channels = 1 if embedder is None else embedder.channels
+    window = empty_window(slots, num_landmarks, (3, h, w), dtype=dtype,
+                          channels=channels)
     key = jax.random.PRNGKey(seed)
 
     for pos, f in enumerate(frame_ids):
         key, kp, kd = jax.random.split(key, 3)
-        pm = build_pixel_map(jnp.asarray(seq.images[f], dtype))
+        img = jnp.asarray(seq.images[f], dtype)
+        pm = build_pixel_map(img)
         cands = select_candidates(pm, num_landmarks)
         pattern = shift_pattern(cands.uv)
-        patches, _ = sample(pm, pattern)
+        if embedder is None:
+            patches, _ = sample(pm, pattern)
+            lm_patch = patches[..., 0]
+            embed = None
+        else:
+            embed = embedder(img)                        # [C, H, W]
+            vals, _ = sample(embed, pattern)             # [N, P, C]
+            lm_patch = jnp.swapaxes(vals, -1, -2).reshape(
+                cands.uv.shape[0], -1)                   # [N, C*P]
         uv = np.asarray(cands.uv)
         gt_idepth = jnp.asarray(
             seq.idepths[f][uv[:, 1].astype(int), uv[:, 0].astype(int)], dtype)
@@ -101,7 +116,8 @@ def build_test_window(
         window = push_frame(
             window, SE3(jnp.asarray(pose.q, dtype), jnp.asarray(pose.t, dtype)),
             pm, frame_id=f, fixed=(pos == 0),
-            lm_uv=cands.uv, lm_patch=patches[..., 0], lm_idepth=gt_idepth,
+            lm_uv=cands.uv, lm_patch=lm_patch, lm_idepth=gt_idepth,
+            embed_channels=embed,
         )
     return window
 

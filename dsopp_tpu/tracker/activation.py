@@ -185,7 +185,11 @@ def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
             model, model, pattern[:, None], idepth[:, None, None], t_b)
         center = rj.uv[..., PATTERN_CENTER, :]               # [cap, K, 2]
         row, bx, by = patch_center_row(center, h_px, w_px)
-        row = row + window.patch_map[None, :] * (h_px * w_px)
+        # channel 0 of the bank: immature patches are intensity (the
+        # tracker pipeline runs C=1; a C>1 window's channel 0 is the first
+        # embedder plane)
+        row = row + window.patch_map[None, :] * (
+            window.num_channels * h_px * w_px)
         rows = jnp.take(window.patch.reshape(-1, window.patch.shape[-1]),
                         row, axis=0)
         vals, gxs, gys, inside = sample_pattern_rows(

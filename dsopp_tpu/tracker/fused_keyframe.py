@@ -66,7 +66,8 @@ def fused_keyframe_push(
         window, slot, pose_q, pose_t, affine,
         jnp.asarray(1.0, dtype), jnp.asarray(False), frame_id,
         jnp.zeros((n, 2), dtype), jnp.zeros((n, window.lm_patch.shape[-1]), dtype),
-        jnp.zeros((n,), dtype), jnp.asarray(0, jnp.int32), pixel_map0)
+        jnp.zeros((n,), dtype), jnp.asarray(0, jnp.int32), pixel_map0,
+        pixel_map0[:1])
 
     # ---- fresh immature bank from the new frame's candidates ----------
     # mask = the sensor's CameraMask (semantic-filtered upstream);
