@@ -22,8 +22,14 @@ _WINDOW_FIELDS = [
     "lm_idepth", "lm_valid", "lm_marg_flag", "lm_outlier", "lm_inliers",
     "lm_opt_count", "lm_baseline", "res_status", "h_marg", "b_marg",
     "energy_marg", "h_marg_lo", "b_marg_lo", "energy_marg_lo", "maps",
-    "patch", "patch_map",
+    "patch_map",
 ]
+# The [K, C·H·W, 128] patch table is ~100×-redundant derived data (≈1.5 GB
+# at VGA/K=10) — checkpoints store only the compact [K, C, H, W] source
+# planes and rebuild the table on load.  The center pixel of each row's
+# 10×10 window sits at lane PATCH_LO·PATCH_WIN + PATCH_LO, so the planes
+# are recovered from the table itself without threading the embedder
+# through the save path.
 _IMM_FIELDS = [
     "uv", "patch", "gradient", "idepth_min", "idepth_max", "status",
     "traced", "uniqueness", "search_interval", "valid",
@@ -34,9 +40,18 @@ def save_checkpoint(path, tracker):
     """Serialize a MonocularTracker to ``path`` (.npz)."""
     import jax.numpy as jnp
 
+    from dsopp_tpu.ops.patch import PATCH_LO, PATCH_WIN
+
     arrays = {}
     for f in _WINDOW_FIELDS:
         arrays[f"window_{f}"] = np.asarray(getattr(tracker.window, f))
+    win = tracker.window
+    k = win.num_slots
+    c = win.num_channels
+    h, w = win.maps.shape[-2:]
+    center_lane = PATCH_LO * PATCH_WIN + PATCH_LO
+    arrays["window_patch_channels"] = np.asarray(
+        win.patch[:, :, center_lane]).reshape(k, c, h, w)
     if tracker.immature is not None:
         for f in _IMM_FIELDS:
             arrays[f"imm_{f}"] = np.asarray(getattr(tracker.immature, f))
@@ -114,8 +129,16 @@ def load_checkpoint(path, camera, config=None, dtype=None):
     meta = json.loads(str(data["meta"]))
     dtype = jnp.float32 if dtype is None else dtype
 
-    window = Window(**{
-        f: jnp.asarray(data[f"window_{f}"]) for f in _WINDOW_FIELDS})
+    from dsopp_tpu.ops.patch import pack_patch_table_c
+
+    fields = {f: jnp.asarray(data[f"window_{f}"]) for f in _WINDOW_FIELDS}
+    if "window_patch" in data:        # r4-era checkpoint with the full table
+        fields["patch"] = jnp.asarray(data["window_patch"])
+    else:
+        planes = jnp.asarray(data["window_patch_channels"])   # [K, C, H, W]
+        fields["patch"] = jnp.stack(
+            [pack_patch_table_c(ch) for ch in planes])
+    window = Window(**fields)
     k, n_imm = window.num_slots, None
 
     tracker = MonocularTracker(

@@ -243,7 +243,11 @@ def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
     idep_flat = idep_flat.at[order].set(
         jnp.where(keep_c, idepth, idep_flat[order]))
     keep_flat = jnp.zeros((n_flat,), bool).at[order].set(keep_c)
-    return idep_flat.reshape(k, m), keep_flat.reshape(k, m)
+    # which candidates actually entered the cap'd refine bank — callers must
+    # only delete refine-rejected points among these; beyond-cap candidates
+    # stay immature and retry next keyframe
+    sel_flat = jnp.zeros((n_flat,), bool).at[order].set(sel)
+    return idep_flat.reshape(k, m), keep_flat.reshape(k, m), sel_flat.reshape(k, m)
 
 
 @jax.jit
@@ -307,10 +311,12 @@ class LandmarksActivator:
         activate, delete, n_active = _activation_kernel(
             window, model, imm, self.min_distance_to_neighbor)
         if self.refine:
-            was_activate = activate
-            idepth, activate = _refine_idepth_kernel(
+            idepth, activate, selected = _refine_idepth_kernel(
                 window, model, imm, activate, self.huber_sigma)
-            delete = delete | (was_activate & ~activate)
+            # only refine-REJECTED candidates die; activating candidates
+            # beyond the REFINE_CAP slots (~never at typical per-tick
+            # activation counts) stay immature and retry next keyframe
+            delete = delete | (selected & ~activate)
             # setIdepthMin/Max(idepth) — landmarks_activator.cpp:308-309
             imm = imm._replace(
                 idepth_min=jnp.where(activate, idepth, imm.idepth_min),

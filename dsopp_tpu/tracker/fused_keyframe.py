@@ -85,10 +85,11 @@ def fused_keyframe_push(
     activate, delete, n_active = _activation_kernel(
         window, model, immature, min_distance)
     if refine:
-        was_activate = activate
-        idepth, activate = _refine_idepth_kernel(
+        idepth, activate, selected = _refine_idepth_kernel(
             window, model, immature, activate, huber_sigma)
-        delete = delete | (was_activate & ~activate)
+        # beyond-cap candidates stay immature (advisor r4): only
+        # refine-rejected members of the cap'd bank are deleted
+        delete = delete | (selected & ~activate)
         immature = immature._replace(
             idepth_min=jnp.where(activate, idepth, immature.idepth_min),
             idepth_max=jnp.where(activate, idepth, immature.idepth_max))

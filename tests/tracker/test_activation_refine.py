@@ -53,8 +53,9 @@ def test_refinement_pulls_idepth_toward_gt():
         lambda x: jnp.zeros((k,) + x.shape, x.dtype).at[0].set(x), bank)
 
     activate = jnp.zeros((k, n), bool).at[0].set(np.asarray(bank.valid))
-    idepth, keep = _refine_idepth_kernel(window, seq.camera, banked,
-                                         activate, 20.0)
+    idepth, keep, selected = _refine_idepth_kernel(window, seq.camera, banked,
+                                                   activate, 20.0)
+    assert bool(jnp.all(selected == activate))  # all fit within the cap
 
     kept = np.asarray(keep[0])
     assert kept.sum() > n // 2, f"only {kept.sum()} survived refinement"
@@ -77,6 +78,37 @@ def test_refinement_rejects_bogus_idepth():
     banked = jax.tree_util.tree_map(
         lambda x: jnp.zeros((k,) + x.shape, x.dtype).at[0].set(x), bank)
     activate = jnp.zeros((k, n), bool).at[0].set(np.asarray(bank.valid))
-    _, keep = _refine_idepth_kernel(window, seq.camera, banked, activate, 20.0)
+    _, keep, _ = _refine_idepth_kernel(window, seq.camera, banked, activate, 20.0)
     # wildly wrong idepth cannot be rescued by 3 LM iterations for most points
     assert np.asarray(keep[0]).sum() < 0.8 * np.asarray(bank.valid).sum()
+
+
+def test_beyond_cap_candidates_defer_not_delete():
+    """Activating candidates past the REFINE_CAP slots must stay immature
+    (selected=False), not be deleted (advisor r4: bursty first-keyframe
+    ticks would otherwise permanently lose points)."""
+    import jax
+
+    from dsopp_tpu.tracker import activation as act_mod
+
+    seq = render_sequence(num_frames=10, height=240, width=320)
+    window = build_test_window(seq, FRAMES, seed=23)
+    k = window.num_slots
+    n = 64
+    dtype = window.lm_uv.dtype
+
+    bank, _ = _immature_bank(seq, window, 0, FRAMES[0], n, 1.05, dtype)
+    banked = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((k,) + x.shape, x.dtype).at[0].set(x), bank)
+    activate = jnp.zeros((k, n), bool).at[0].set(np.asarray(bank.valid))
+    n_act = int(np.asarray(activate).sum())
+    cap = max(1, n_act // 2)  # force half the burst beyond the cap
+    _, keep, selected = _refine_idepth_kernel(
+        window, seq.camera, banked, activate, 20.0, cap=cap)
+    sel = np.asarray(selected)
+    assert sel.sum() == cap
+    # the beyond-cap candidates are neither kept nor marked selected —
+    # activate_deferred's `delete |= selected & ~keep` leaves them immature
+    beyond = np.asarray(activate) & ~sel
+    assert beyond.sum() == n_act - cap
+    assert not np.any(np.asarray(keep) & beyond)
