@@ -124,7 +124,8 @@ class Application:
                     force_kf = n == self.init_frames - 1
                     result = self.tracker.tick(
                         frame.frame_id, frame.timestamp, frame.image,
-                        known_pose=known_pose, force_keyframe=force_kf)
+                        known_pose=known_pose, force_keyframe=force_kf,
+                        exposure=frame.exposure)
                 else:
                     # feature-based bootstrap (reference dsopp.cpp:129-131)
                     import numpy as np
@@ -152,12 +153,13 @@ class Application:
                     self._pipe = PipelinedTracker(self.tracker, flush_every=16)
                 if self._pipe is not None:
                     self._pipe.tick(frame.frame_id, frame.timestamp,
-                                    frame.image, semantics=frame.semantics)
+                                    frame.image, semantics=frame.semantics,
+                                    exposure=frame.exposure)
                     result = {"pipelined": True}
                 else:
                     result = self.tracker.tick(
                         frame.frame_id, frame.timestamp, frame.image,
-                        semantics=frame.semantics)
+                        semantics=frame.semantics, exposure=frame.exposure)
             obs.on_frame(frame, result)
             if result and result.get("keyframe"):
                 self._run_sanity_check()
@@ -270,6 +272,23 @@ def build_tracker_config(tracker_params: dict):
     cfg.max_marginalized_fraction = float(
         marg.get("maximum_percentage_of_marginalized_points_in_frame",
                  cfg.max_marginalized_fraction))
+    # solver sections (reference fabric.cpp:59-160: max_iterations +
+    # affine_brightness_regularizers "a b" per solver; the ×C scaling is
+    # applied at solver construction)
+    def _affine_reg(section, default):
+        raw = section.get("affine_brightness_regularizers")
+        if raw is None:
+            return default
+        parts = [float(x) for x in str(raw).split()]
+        return (parts[0], parts[1])
+
+    pba = tracker_params.get("photometric_bundle_adjustment", {}) or {}
+    cfg.pba_max_iterations = int(pba.get("max_iterations",
+                                         cfg.pba_max_iterations))
+    cfg.pba_affine_reg = _affine_reg(pba, cfg.pba_affine_reg)
+    pa = tracker_params.get("pose_alignment", {}) or {}
+    cfg.align_affine_reg = _affine_reg(pa, cfg.align_affine_reg)
+
     # window_max + 2: the device loop pushes the new keyframe before the
     # marginalization fold runs (device_loop.PipelinedTracker invariant)
     cfg.num_frame_slots = cfg.window_max + 2
@@ -305,6 +324,18 @@ def build_application(config: dict, base_dir: str = ".", dtype=None) -> Applicat
         log.warning("unknown tracker type %r; using monocular",
                     tracker_params.get("type"))
     cfg = build_tracker_config(tracker_params)
+    # frame embedder (reference camera_fabric.cpp:41-50: sensor-level
+    # frame_embedder.type; gn_net is proprietary there — filter_bank is the
+    # open C=3 stand-in with the same contract)
+    for s in config.get("sensors", []):
+        fe = s.get("frame_embedder")
+        if fe and s.get("id", "camera_1") == camera.sensor_id:
+            kind = str(fe.get("type", "identity"))
+            if kind == "gn_net":
+                raise ValueError(
+                    "frame_embedder type 'gn_net' is proprietary in the "
+                    "reference; use 'filter_bank' (C=3) or 'identity'")
+            cfg.embedder = kind
     model = camera.camera_model(0, dtype)
     tracker = MonocularTracker(model, cfg, dtype=dtype,
                                mask=camera.processed_mask())

@@ -142,6 +142,50 @@ def sample_pattern_rows(rows, uv, bx, by, height, width):
     return vals, gx, gy, inside & in_win
 
 
+def sample_values_rows(rows, uv, bx, by, height, width):
+    """Bilinear VALUES of many points from already-fetched window rows.
+
+    Like :func:`sample_pattern_rows` but values-only: no gradient halo is
+    needed, so the usable window is the full 10×10 (corners may sit at
+    window index 0..9 → base offset ∈ [0, 8] instead of [1, 7]).  This is
+    the epipolar-sweep workhorse: one row serves a GROUP of consecutive
+    epiline samples × pattern points (reference findBest SSD walk,
+    depth_estimation.cpp:36-77, needs intensities only).
+
+    ``rows``: [..., 128]; ``uv``: [..., M, 2] sample positions sharing the
+    row; ``bx``/``by``: window base from :func:`patch_center_row`.
+    Returns (vals [..., M], inside [..., M]).
+    """
+    dtype = rows.dtype
+    x = uv[..., 0]
+    y = uv[..., 1]
+    inside = (x >= 0) & (y >= 0) & (x <= width - 1) & (y <= height - 1)
+    ix = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, width - 2)
+    iy = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, height - 2)
+    fx = x - ix.astype(dtype)
+    fy = y - iy.astype(dtype)
+
+    win = rows[..., : PATCH_WIN * PATCH_WIN].reshape(
+        rows.shape[:-1] + (PATCH_WIN, PATCH_WIN))        # [..., 10y, 10x]
+
+    dxi = ix - bx[..., None]                              # [..., M]
+    dyi = iy - by[..., None]
+    in_win = (dxi >= 0) & (dxi <= PATCH_WIN - 2) & \
+             (dyi >= 0) & (dyi <= PATCH_WIN - 2)
+    dxi = jnp.clip(dxi, 0, PATCH_WIN - 2)
+    dyi = jnp.clip(dyi, 0, PATCH_WIN - 2)
+
+    grid = jax.lax.broadcasted_iota(jnp.int32, dxi.shape + (PATCH_WIN,),
+                                    dxi.ndim)
+    wx = (jnp.where(grid == dxi[..., None], (1.0 - fx)[..., None], 0.0)
+          + jnp.where(grid == dxi[..., None] + 1, fx[..., None], 0.0))
+    wy = (jnp.where(grid == dyi[..., None], (1.0 - fy)[..., None], 0.0)
+          + jnp.where(grid == dyi[..., None] + 1, fy[..., None], 0.0))
+    tmp_y = jnp.sum(win[..., None, :, :] * wy[..., :, :, None], axis=-2)
+    vals = jnp.sum(tmp_y * wx, axis=-1)                   # [..., M]
+    return vals, inside & in_win
+
+
 def sample_pattern_patch(table, uv, center, height, width):
     """Values + gradients of a pattern group from one patch-table row.
 

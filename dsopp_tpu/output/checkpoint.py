@@ -168,6 +168,11 @@ def load_checkpoint(path, camera, config=None, dtype=None):
                 tracker.depth_maps[0][l], tracker.depth_maps[1][l],
                 maps[l], tracker.config.frontend_points)
             for l in range(nl)]
+        from dsopp_tpu.tracker.depth_map import FLOW_CAP
+
+        tracker.flow_points = depth_map_level_points(
+            tracker.depth_maps[0][0], tracker.depth_maps[1][0],
+            maps[0], FLOW_CAP)
 
     tracker.num_keyframes = meta["num_keyframes"]
     tracker.rmse_last = meta["rmse_last"]

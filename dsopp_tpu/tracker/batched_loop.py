@@ -38,17 +38,19 @@ from dsopp_tpu.tracker.device_loop import (
     device_tick,
 )
 
-# state, image, frame_id, force_kf batched; models + mask + cfg shared
+# state, image, frame_id, force_kf, exposure batched; models+mask+cfg shared
 _batched_tick = jax.vmap(
-    device_tick, in_axes=(0, 0, 0, 0, None, None, None))
+    device_tick, in_axes=(0, 0, 0, 0, None, None, None, 0))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def batched_device_tick(states, images, frame_ids, force_kfs, models, mask,
-                        cfg: DeviceLoopConfig):
+                        cfg: DeviceLoopConfig, exposures=None):
     """One tracked frame for B sequences as ONE device program."""
+    if exposures is None:
+        exposures = jnp.ones(images.shape[0], images.dtype)
     return _batched_tick(states, images, frame_ids, force_kfs, models, mask,
-                         cfg)
+                         cfg, exposures)
 
 
 def stack_states(states: List[DeviceTrackerState]) -> DeviceTrackerState:
@@ -89,11 +91,13 @@ class BatchedPipelinedTracker:
     def batch(self) -> int:
         return len(self.pipes)
 
-    def tick(self, frame_ids, timestamps, images, force_keyframes=None):
+    def tick(self, frame_ids, timestamps, images, force_keyframes=None,
+             exposures=None):
         """Advance every sequence by one frame.
 
         ``frame_ids``: [B] ints; ``timestamps``: [B] floats; ``images``:
-        [B, H, W] array (or list of [H, W]); ``force_keyframes``: [B] bools.
+        [B, H, W] array (or list of [H, W]); ``force_keyframes``: [B] bools;
+        ``exposures``: [B] provider exposure times (default 1.0).
         """
         b = self.batch
         if force_keyframes is None:
@@ -106,7 +110,10 @@ class BatchedPipelinedTracker:
             self.states, images,
             jnp.asarray(np.asarray(frame_ids, np.int32)),
             jnp.asarray(np.asarray(force_keyframes, bool)),
-            self.models, self.mask, self.cfg)
+            self.models, self.mask, self.cfg,
+            exposures=(None if exposures is None else
+                       jnp.asarray(np.asarray(exposures, np.float64),
+                                   self.dtype)))
         self.pending.append((list(frame_ids), list(timestamps), diag))
         if len(self.pending) >= self.flush_every:
             self.drain()

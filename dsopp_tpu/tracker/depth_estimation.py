@@ -31,12 +31,12 @@ import jax.numpy as jnp
 
 from dsopp_tpu.core.camera import MIN_DEPTH, valid_idepth
 from dsopp_tpu.core.lie import SE3, quat_rotate
-from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
-from dsopp_tpu.ops import (
-    pack_corners,
-    pack_neighborhood,
-    sample_nbhd,
-    sample_packed,
+from dsopp_tpu.core.pattern import PATTERN_SIZE, shift_pattern
+from dsopp_tpu.ops.patch import (
+    pack_patch_table,
+    patch_center_row,
+    sample_pattern_rows,
+    sample_values_rows,
 )
 
 # ImmatureStatus (reference immature_tracking_landmark.hpp:14-23)
@@ -125,17 +125,19 @@ def estimate_depths(
     s = num_samples
     dtype = points.uv.dtype
     h_px, w_px = target_map.shape[-2:]
-    # corner-pack the target map once (subpixel GN refinement needs
-    # value+gradients), zero-padded to one (8,128) tile per row — a full-
-    # tile row fetches ~4x faster than the 12-lane partial row; the SSD
-    # sweep — the N·S·P bulk of the gathers — reads intensity only
-    # (depth_estimation.cpp:36-77) through the neighborhood layout: ONE
-    # central gather per (landmark, sample) instead of one per pattern
-    # point (ops/nbhd.py).  (A bf16 sweep table was measured 3.4 ms
-    # cheaper but cost 18→32 mm e2e ATE — the SSD winner/uniqueness/
-    # status gates are NOT robust to ±0.5-level quantization; rejected.)
-    packed = jnp.pad(pack_corners(target_map), ((0, 0), (0, 128 - 12)))
-    nb_i = pack_neighborhood(target_map[0])
+    # ONE 10×10-window patch table serves the whole stage (ops/patch.py):
+    # gather cost on the v5e is per-ROW (PERF.md §1.2), and consecutive
+    # epiline samples sit ~1 px apart, so a GROUP of 4 samples × 8 pattern
+    # points shares a single 128-lane row — 8 rows per landmark for the
+    # whole SSD sweep instead of one row per (sample, point), and the
+    # subpixel GN refinement replays all its iterations from ONE row at the
+    # winner (r4 cost: sweep 256k + refine 4×64k rows/tick; r5: ~72k).
+    # All sampling stays f32-exact — the r4 bf16-sweep experiment cost
+    # 18→32 mm e2e ATE (winner/uniqueness gates are not robust to ±0.5-
+    # level quantization) and stays rejected.
+    tbl = pack_patch_table(target_map[0])
+    group = 4 if s % 4 == 0 else 1
+    num_groups = s // group
 
     active = points.valid & (
         (points.status == STATUS_GOOD)
@@ -197,8 +199,21 @@ def estimate_depths(
     pr_p = quat_rotate(t_t_r.q, ray_p)
     q_sp = pr_p[:, None, :, :] + rho_s[:, :, None, None] * t[:, None, None, :]  # [N,S,P,3]
     uv_sp, valid_sp = _project_scaled(model, q_sp)
-    intensity_sp, inside_sp = sample_nbhd(
-        nb_i, uv_sp, uv_sp[..., PATTERN_CENTER, :], h_px, w_px)  # [N,S,P]
+    # group-shared rows: the row is chosen at the mean of the group's
+    # sample centers; every sample in the group reads its pattern from that
+    # one fetched window (out-of-window points — extreme warp only — are
+    # reported invalid, same trade the BA patch tables make)
+    alpha_g = (group * jnp.arange(num_groups, dtype=dtype)
+               + 0.5 * (group - 1)) / (s - 1)                # [G]
+    uv_g = uv_a[:, None, :] + (
+        alpha_g[None, :, None] * search_len[:, None, None]) * dir_unit[:, None, :]
+    row_g, bx_g, by_g = patch_center_row(uv_g, h_px, w_px)
+    rows_g = jnp.take(tbl, row_g, axis=0)                    # [N, G, 128]
+    vals_g, inside_g = sample_values_rows(
+        rows_g, uv_sp.reshape(n, num_groups, group * PATTERN_SIZE, 2),
+        bx_g, by_g, h_px, w_px)
+    intensity_sp = vals_g.reshape(n, s, PATTERN_SIZE)        # [N,S,P]
+    inside_sp = inside_g.reshape(n, s, PATTERN_SIZE)
 
     scale = exposure_ratio * jnp.exp(affine_tgt[0] - affine_ref[0])
     corrected_ref = scale * (points.patch - affine_ref[1])     # [N, P]
@@ -230,11 +245,19 @@ def estimate_depths(
         uv_sp, best_idx[:, None, None, None].repeat(PATTERN_SIZE, 2).repeat(2, 3), axis=1
     )[:, 0]                                                    # [N, P, 2]
 
+    # one row per landmark at the sweep winner serves every GN iteration:
+    # the refinement moves the pattern ≤ 4×0.3 px along the tangent, which
+    # stays inside the 10×10 window's gradient-valid span for all but
+    # extreme-warp points (those report invalid → the trial is rejected,
+    # mirroring the reference's insideCameraROI stop, :151-155)
+    row_r, bx_r, by_r = patch_center_row(uv_best, h_px, w_px)
+    rows_r = jnp.take(tbl, row_r, axis=0)                    # [N, 128]
+
     def gn_iter(carry, _):
         delta, e_best, best_delta = carry
         pat = pattern_best - delta[:, None, None] * dir_unit[:, None, :]
-        vals, inside = sample_packed(packed, pat, h_px, w_px, channels=3)
-        it, gx, gy = vals[..., 0], vals[..., 1], vals[..., 2]
+        it, gx, gy, inside = sample_pattern_rows(
+            rows_r, pat, bx_r, by_r, h_px, w_px)
         r = (it - affine_tgt[1]) - corrected_ref
         w = huber_sigma / jnp.maximum(jnp.abs(r), huber_sigma)
         g_tau = gx * dir_unit[:, None, 0] + gy * dir_unit[:, None, 1]

@@ -58,6 +58,7 @@ class DeviceLoopConfig(NamedTuple):
     with_perturbations: bool
     huber_sigma: float
     refine: bool
+    embedder: str              # frame-embedder kind ("identity" = C=1)
     immature_per_frame: int
     frontend_points: int
     desired_points: float
@@ -77,6 +78,7 @@ class DeviceTrackerState(NamedTuple):
     depth_idepth: tuple       # per-level [H_l, W_l]
     depth_weight: tuple
     level_points: tuple       # per-level LevelPoints
+    flow_points: object       # compact [FLOW_CAP] flow-statistic set
     last_q: jnp.ndarray       # T_w_last
     last_t: jnp.ndarray
     prev_q: jnp.ndarray       # previous relative motion
@@ -91,6 +93,7 @@ class TickDiag(NamedTuple):
     """Per-frame diagnostics bundle (host bookkeeping/export only)."""
 
     is_keyframe: jnp.ndarray
+    escalated: jnp.ndarray     # perturbation re-track fired this tick
     pose_q: jnp.ndarray
     pose_t: jnp.ndarray
     affine: jnp.ndarray
@@ -119,19 +122,22 @@ class TickDiag(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
-                models, mask, cfg: DeviceLoopConfig):
+                models, mask, cfg: DeviceLoopConfig, exposure=None):
     """One tracked frame as ONE device program → (state', diag).
 
     ``mask``: [H, W] bool candidate-selection mask (CameraMask, possibly
-    semantic-filtered for this frame)."""
+    semantic-filtered for this frame); ``exposure``: the frame's exposure
+    time from the provider (1.0 when absent)."""
     dtype = image.dtype
     window = state.window
     poses = window.poses()
     kf_slot = jnp.sum(window.frame_valid).astype(jnp.int32) - 1
+    exposure = (jnp.asarray(1.0, dtype) if exposure is None
+                else jnp.asarray(exposure, dtype))
 
     out = fused_regular_tick(
-        image, state.level_points, state.depth_idepth[0],
-        state.depth_weight[0], poses.q, poses.t, window.affine(), kf_slot,
+        image, state.level_points, state.flow_points,
+        poses.q, poses.t, window.affine(), window.exposure, exposure, kf_slot,
         state.immature, state.last_q, state.last_t, state.prev_q,
         state.prev_t, state.last_affine, models, cfg.align_opts,
         cfg.with_perturbations, cfg.num_levels, cfg.huber_sigma,
@@ -177,6 +183,7 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
               lm_baseline):
         return TickDiag(
             is_keyframe=jnp.asarray(is_kf, bool),
+            escalated=jnp.asarray(out.escalated, bool),
             pose_q=out.pose_q, pose_t=out.pose_t, affine=out.affine,
             rmse=rmse.astype(dtype), flow=out.flow.astype(dtype),
             flow_no_rot=out.flow_no_rot.astype(dtype),
@@ -200,12 +207,21 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
         )
 
     def keyframe_branch(_):
+        # frame-embedder channels feed the PBA window's patch tables; the
+        # frontend/tracer stay C=1 like the reference
+        # (monocular_tracker.hpp:58-60, :470 estimateDepths<...,1>)
+        embed = None
+        if cfg.embedder != "identity":
+            from dsopp_tpu.features.embedder import make_embedder
+
+            embed = make_embedder(cfg.embedder)(out.maps[0][0])
         kf_out = fused_keyframe_push(
             base.window, models[0], base.immature, out.maps[0],
             out.pose_q, out.pose_t, out.affine,
             frame_id.astype(jnp.int32), base.min_distance,
             cfg.pba_opts, cfg.refine, cfg.huber_sigma,
-            cfg.immature_per_frame, mask=mask)
+            cfg.immature_per_frame, mask=mask, exposure=exposure,
+            embed=embed)
         win, immature, batch = kf_out.window, kf_out.immature, dict(kf_out.batch)
 
         # activation density P-controller (recalculateMinDistanceToNeighbor)
@@ -239,13 +255,14 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
         immature = immature._replace(
             valid=immature.valid & win.frame_valid[:, None])
 
-        idep, wei, points = build_frontend_state(
+        idep, wei, points, flow_pts = build_frontend_state(
             win, models[0], out.maps, cfg.height, cfg.width,
             cfg.num_levels, cfg.frontend_points)
 
         st = base._replace(
             window=win, immature=immature, depth_idepth=idep,
-            depth_weight=wei, level_points=points, min_distance=min_distance,
+            depth_weight=wei, level_points=points, flow_points=flow_pts,
+            min_distance=min_distance,
             # host parity: after a keyframe solve the frontend carries the
             # new keyframe's POST-solve affine (monocular.py _push_keyframe
             # sets last_affine = batch["new_affine"])
@@ -293,6 +310,7 @@ class PipelinedTracker:
             with_perturbations=cfgt.use_rotation_perturbations,
             huber_sigma=cfgt.huber_sigma,
             refine=cfgt.refine_activation,
+            embedder=cfgt.embedder,
             immature_per_frame=cfgt.immature_per_frame,
             frontend_points=cfgt.frontend_points,
             desired_points=float(cfgt.desired_points),
@@ -310,6 +328,7 @@ class PipelinedTracker:
             depth_idepth=tuple(tracker.depth_maps[0]),
             depth_weight=tuple(tracker.depth_maps[1]),
             level_points=tuple(tracker.level_points),
+            flow_points=tracker.flow_points,
             last_q=jnp.asarray(tracker.t_w_last.q, d),
             last_t=jnp.asarray(tracker.t_w_last.t, d),
             prev_q=jnp.asarray(tracker.t_prev_rel.q, d),
@@ -332,7 +351,8 @@ class PipelinedTracker:
 
     # ------------------------------------------------------------------
     def tick(self, frame_id: int, timestamp: float, image,
-             force_keyframe: bool = False, semantics=None):
+             force_keyframe: bool = False, semantics=None,
+             exposure: float = 1.0):
         if semantics is not None:
             self._sem_pending[frame_id] = np.asarray(semantics)
             if self.tracker.semantic_filter:
@@ -345,7 +365,7 @@ class PipelinedTracker:
         self.state, diag = device_tick(
             self.state, image, jnp.asarray(frame_id, jnp.int32),
             jnp.asarray(bool(force_keyframe)), self.models, self.mask,
-            self.cfg)
+            self.cfg, exposure=jnp.asarray(float(exposure), self.dtype))
         self.pending.append((frame_id, timestamp, diag))
         if len(self.pending) >= self.flush_every:
             self.drain()

@@ -56,7 +56,7 @@ from dsopp_tpu.tracker.depth_estimation import (
 )
 from dsopp_tpu.tracker.depth_map import (
     build_frontend_state,
-    mean_square_optical_flow,
+    mean_square_flows,
 )
 from dsopp_tpu.tracker.keyframe_strategy import OpticalFlowKeyframeStrategy
 from dsopp_tpu.tracker.marginalization import SparseMarginalizationStrategy
@@ -109,6 +109,17 @@ class TrackerConfig:
     use_rotation_perturbations: bool = True
     estimate_uncertainty: bool = False   # pose-pose covariance per solve
     refine_activation: bool = True       # idepth GN on activation (REFINE)
+    # frame embedder (YAML frame_embedder:, reference camera_fabric.cpp:41-50):
+    # C>1 channels feed the PBA window; frontend alignment and the epipolar
+    # tracer stay C=1 exactly like the reference (monocular_tracker.hpp:58-60,
+    # monocular_tracker.cpp:470 estimateDepths<..., Grid2D, 1>)
+    embedder: str = "identity"
+    # solver overrides (reference fabric.cpp readAffineBrightnessRegularizers
+    # + max_iterations keys; the 1e12/1e8 defaults freeze (a, b) — relax via
+    # YAML for uncalibrated/exposure-varying footage)
+    pba_max_iterations: int = 7
+    pba_affine_reg: tuple = (1e12, 1e8)
+    align_affine_reg: tuple = (1e12, 1e8)
 
 
 def _initialization_hypotheses(t_w_last: SE3, t_prev_rel: SE3, t_w_kf: SE3,
@@ -171,9 +182,13 @@ class MonocularTracker:
         self.camera = camera
         self.models = [camera.scaled(float(2 ** l)) for l in range(config.pyramid_levels)]
 
+        from dsopp_tpu.features.embedder import make_embedder
+
+        self.embedder = make_embedder(config.embedder)
         self.window: Window = empty_window(
             config.num_frame_slots, config.landmarks_per_frame,
-            (3,) + self.image_shape, dtype=dtype)
+            (3,) + self.image_shape, dtype=dtype,
+            channels=self.embedder.channels)
         self.immature: Optional[ImmaturePoints] = None  # [K] bank
         self.track = OdometryTrack()
 
@@ -183,12 +198,21 @@ class MonocularTracker:
         self.activator = LandmarksActivator(
             config.desired_points, refine=config.refine_activation,
             huber_sigma=config.huber_sigma)
-        self.pba_opts = PBAOptions(huber_sigma=config.huber_sigma)
-        self.align_opts = AlignmentOptions(huber_sigma=config.huber_sigma)
+        c = self.embedder.channels
+        self.pba_opts = PBAOptions(
+            huber_sigma=config.huber_sigma,
+            max_iterations=config.pba_max_iterations,
+            affine_reg_a=float(config.pba_affine_reg[0]) * c,
+            affine_reg_b=float(config.pba_affine_reg[1]) * c)
+        self.align_opts = AlignmentOptions(
+            huber_sigma=config.huber_sigma,
+            affine_reg_a=float(config.align_affine_reg[0]),
+            affine_reg_b=float(config.align_affine_reg[1]))
 
         # frontend state
         self.level_points = None       # list[LevelPoints] from last keyframe
         self.depth_maps = None         # ((idepth,...), (weight,...))
+        self.flow_points = None        # compact [FLOW_CAP] flow set
         self.rmse_last = [1e8] * config.pyramid_levels
         self.t_w_last: Optional[SE3] = None
         self.t_prev_rel = SE3.identity((), dtype)
@@ -222,12 +246,15 @@ class MonocularTracker:
     # ------------------------------------------------------------------
     def tick(self, frame_id: int, timestamp: float, image,
              known_pose: Optional[SE3] = None, force_keyframe: bool = False,
-             semantics=None):
+             semantics=None, exposure: float = 1.0):
         """Process one frame.  ``known_pose``: precalculated T_w_c (the
         reference's PrecalculatedPoseAlignment path, used by the
         initializer).  ``semantics``: optional [H, W] class-id image —
         filtered classes are masked out of candidate selection and class
-        ids are attached to landmarks on marginalization."""
+        ids are attached to landmarks on marginalization.  ``exposure``:
+        the provider's exposure time (brightness model ratio; reference
+        CameraDataFrame exposure → every solver)."""
+        self._cur_exposure = float(exposure)
         if semantics is not None:
             self._last_semantics = np.asarray(semantics)
             if self.semantic_filter:
@@ -311,8 +338,10 @@ class MonocularTracker:
         kf_slot = jnp.asarray(self.window.frame_count() - 1, jnp.int32)
         idep0, wei0 = self.depth_maps[0][0], self.depth_maps[1][0]
         out = fused_regular_tick(
-            image, tuple(self.level_points), idep0, wei0,
-            poses.q, poses.t, self.window.affine(), kf_slot,
+            image, tuple(self.level_points), self.flow_points,
+            poses.q, poses.t, self.window.affine(), self.window.exposure,
+            jnp.asarray(getattr(self, "_cur_exposure", 1.0), self.dtype),
+            kf_slot,
             self.immature,
             self.t_w_last.q, self.t_w_last.t,
             self.t_prev_rel.q, self.t_prev_rel.t,
@@ -350,20 +379,18 @@ class MonocularTracker:
             jnp.broadcast_to(t_inv.q, (k, 4)),
             jnp.broadcast_to(t_inv.t, (k, 3))).compose(poses)
         affines = self.window.affine()
-        ratios = jnp.ones(k, self.dtype)
+        ratios = (jnp.asarray(getattr(self, "_cur_exposure", 1.0), self.dtype)
+                  / jnp.maximum(self.window.exposure, 1e-12))
         self.immature = _estimate_depths_banked(
             self.immature, target_map, self.camera, t_rel,
             affines, self.last_affine, ratios,
             self.config.huber_sigma, 32)
 
     def _flow_stats(self, t_t_kf: SE3):
-        if self.depth_maps is None:
+        if self.flow_points is None:
             return 0.0, 0.0
-        idep, wei = self.depth_maps
-        flow = float(mean_square_optical_flow(idep[0], wei[0], self.camera, t_t_kf))
-        no_rot = SE3(jnp.asarray([1.0, 0, 0, 0], self.dtype), t_t_kf.t)
-        flow_nr = float(mean_square_optical_flow(idep[0], wei[0], self.camera, no_rot))
-        return flow, flow_nr
+        flow, flow_nr = mean_square_flows(self.flow_points, self.camera, t_t_kf)
+        return float(flow), float(flow_nr)
 
     # ------------------------------------------------------------------
     def _make_immature_bank(self, maps):
@@ -385,9 +412,13 @@ class MonocularTracker:
         stats = {}
 
         if first:
+            embed = (None if self.embedder.channels == 1
+                     else self.embedder(maps[0][0]))
             self.window = push_frame(
                 self.window, pose, maps[0], frame_id=frame_id, fixed=True,
-                affine=(0.0, 0.0))
+                affine=(0.0, 0.0),
+                exposure=getattr(self, "_cur_exposure", 1.0),
+                embed_channels=embed)
             new_bank = self._make_immature_bank(maps)
             if self.immature is None:
                 self.immature = jax.tree_util.tree_map(
@@ -413,7 +444,11 @@ class MonocularTracker:
                             self.dtype),
                 self.pba_opts, self.activator.refine,
                 self.config.huber_sigma, cfg.immature_per_frame,
-                mask=self.mask)
+                mask=self.mask,
+                exposure=jnp.asarray(getattr(self, "_cur_exposure", 1.0),
+                                     self.dtype),
+                embed=(None if self.embedder.channels == 1
+                       else self.embedder(maps[0][0])))
             self.window, self.immature, batch = (
                 out.window, out.immature, dict(out.batch))
             object.__setattr__(self.window, "_frame_count_cache",
@@ -468,11 +503,12 @@ class MonocularTracker:
         # rebuild frontend reference depth maps + per-level points (fused:
         # one device program instead of 1 + num_levels dispatches)
         h, w = self.image_shape
-        idep, wei, points = build_frontend_state(
+        idep, wei, points, flow_pts = build_frontend_state(
             self.window, self.camera, tuple(maps), h, w,
             cfg.pyramid_levels, cfg.frontend_points)
         self.depth_maps = (idep, wei)
         self.level_points = list(points)
+        self.flow_points = flow_pts
         return stats
 
     def _snapshot_marginalized(self, host, frame_flags, timestamp):

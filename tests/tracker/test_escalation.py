@@ -42,10 +42,11 @@ def tracker():
 def _tick(tr, image, rmse_last0):
     poses = tr.window.poses()
     kf_slot = jnp.asarray(tr.window.frame_count() - 1, jnp.int32)
-    idep0, wei0 = tr.depth_maps[0][0], tr.depth_maps[1][0]
     return fused_regular_tick(
-        jnp.asarray(image, jnp.float64), tuple(tr.level_points), idep0, wei0,
-        poses.q, poses.t, tr.window.affine(), kf_slot, tr.immature,
+        jnp.asarray(image, jnp.float64), tuple(tr.level_points),
+        tr.flow_points,
+        poses.q, poses.t, tr.window.affine(), tr.window.exposure,
+        jnp.asarray(1.0, jnp.float64), kf_slot, tr.immature,
         tr.t_w_last.q, tr.t_w_last.t, tr.t_prev_rel.q, tr.t_prev_rel.t,
         tr.last_affine, tuple(tr.models), tr.align_opts, True,
         tr.config.pyramid_levels, tr.config.huber_sigma,
