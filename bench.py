@@ -1,8 +1,13 @@
 """Benchmark: full direct-odometry pipeline throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line.  The headline fields describe the standart.yaml
+operating point; ``rows`` carries the additional measured operating points
+(faster-motion keyframe cadence, dense.yaml) so the single line records
+the full envelope:
+
   {"metric": "...", "value": N, "unit": "frames/s", "vs_baseline": N,
-   "mfu": ..., "mfu_f32": ..., "compile_s": ...}
+   "mfu": ..., "compile_s": ..., "escalations": ..., "keyframes": ...,
+   "rows": [{"metric": ..., "value": ..., ...}, ...]}
 
 Operating point = the reference's standart.yaml
 (/root/reference/test/test_data/tummono/standart.yaml): 640x480 frames,
@@ -15,23 +20,25 @@ semantics follow the reference's runtime meter
 wall-clock over a stretch that includes keyframe ticks (activation +
 windowed BA + marginalization), not just cheap regular frames.
 
-The robustness path is ARMED (r4): ``use_rotation_perturbations=True``
-builds the ±1..3° perturbation re-track as a ``lax.cond`` escalation that
-fires only when the plain initializations fail the 2.5x reliability gate —
-the same trigger as the reference's sequential retry scan
-(monocular_tracker.cpp:137-243), so the steady state measures the armed
-configuration at the reference's cost model.
+The robustness path is ARMED: ``use_rotation_perturbations=True`` builds
+the ±1..3° perturbation re-track as a gated escalation that fires only
+when the plain initializations fail the 2.5x reliability gate — the same
+trigger as the reference's sequential retry scan
+(monocular_tracker.cpp:137-243).  ``escalations`` reports how often it
+actually fired during the measured stretch (VERDICT r4 weak #4).
 
-``--dense`` switches to the dense.yaml operating point
-(/root/reference/test/test_data/tummono/dense.yaml): 5000 active points,
-window up to 15 keyframes (15+2 slots), keyframe factor 2.0.
+The faster-motion row replays the same compiled programs on a sequence
+with ~1.6x the frame-to-frame motion — more keyframes per frame tracked —
+so the headline f/s carries a keyframe-cadence error bar.  ``--dense``
+switches the HEADLINE to the dense.yaml point
+(/root/reference/test/test_data/tummono/dense.yaml: 5000 points, window
+15, factor 2.0); by default dense is measured as a row.
 
 MFU: flops per steady-state frame are taken from XLA's compiled-HLO cost
-analysis of both device_tick branches (regular + keyframe, mixed at the
-measured keyframe rate) divided by measured wall time and chip peak
-(TPU v5e: 197 TFLOPS bf16 / 98.5 TFLOPS f32).  Direct odometry is a
-gather/geometry workload, not a matmul workload — the number is reported
-for capacity accounting, not as an optimization target.
+analysis of both device_tick branches divided by measured wall time and
+chip peak (TPU v5e: 197 TFLOPS bf16 / 98.5 TFLOPS f32).  Direct odometry
+is a gather/geometry workload, not a matmul workload — the number is
+reported for capacity accounting, not as an optimization target.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md) and the
 C++ tree cannot be built here (Sophus/Ceres/Pangolin absent).  The proxy
@@ -71,6 +78,38 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def standart_config():
+    from dsopp_tpu.tracker.monocular import TrackerConfig
+
+    return TrackerConfig(
+        num_frame_slots=10,           # window_max + 2 (device-loop invariant)
+        landmarks_per_frame=250,      # 250*8 slots = 2000 active points
+        immature_per_frame=800,
+        desired_points=2000,
+        frontend_points=2000,
+        keyframe_factor=1.25,         # standart.yaml keyframe_strategy.factor
+        window_min=5,                 # marginalization_strategy.minimum_size
+        window_max=8,                 # marginalization_strategy.maximum_size
+        use_rotation_perturbations=True,
+    )
+
+
+def dense_config():
+    from dsopp_tpu.tracker.monocular import TrackerConfig
+
+    return TrackerConfig(
+        num_frame_slots=17,       # dense.yaml window max 15 (+2 device)
+        landmarks_per_frame=340,  # ~5000 active points over the window
+        immature_per_frame=1200,
+        desired_points=5000,
+        frontend_points=2000,
+        keyframe_factor=2.0,      # dense.yaml keyframe factor
+        window_min=5,
+        window_max=15,
+        use_rotation_perturbations=True,
+    )
+
+
 def tick_flops(pipe, image):
     """XLA cost-analysis flops of one device_tick program (both branches
     compile; cost_analysis covers the whole module including the cond)."""
@@ -79,7 +118,8 @@ def tick_flops(pipe, image):
     try:
         lowered = device_tick.lower(
             pipe.state, image, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), pipe.models, pipe.mask, pipe.cfg)
+            jnp.asarray(False), pipe.models, pipe.mask, pipe.cfg,
+            jnp.asarray(1.0, jnp.float32))
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
@@ -89,59 +129,28 @@ def tick_flops(pipe, image):
         return 0.0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dense", action="store_true",
-                    help="dense.yaml operating point (5000 pts, W=15)")
-    args = ap.parse_args()
-
+def bootstrap(seq, cfg):
     from dsopp_tpu.core.camera import Pinhole
     from dsopp_tpu.core.lie import SE3
-    from dsopp_tpu.testing import render_sequence
-    from dsopp_tpu.tracker.device_loop import PipelinedTracker
-    from dsopp_tpu.tracker.monocular import MonocularTracker, TrackerConfig
-
-    t0 = time.time()
-    seq = render_sequence(num_frames=NUM_FRAMES, height=HEIGHT, width=WIDTH,
-                          focal=FOCAL, advance=0.08, backend="jax")
-    log(f"render: {time.time()-t0:.1f}s")
+    from dsopp_tpu.tracker.monocular import MonocularTracker
 
     cam = Pinhole.create((float(WIDTH), float(HEIGHT)), (FOCAL, FOCAL),
                          (WIDTH / 2 - 0.5, HEIGHT / 2 - 0.5), jnp.float32)
-    if args.dense:
-        cfg = TrackerConfig(
-            num_frame_slots=17,       # dense.yaml window max 15 (+2 device)
-            landmarks_per_frame=340,  # ~5000 active points over the window
-            immature_per_frame=1200,
-            desired_points=5000,
-            frontend_points=2000,
-            keyframe_factor=2.0,      # dense.yaml keyframe factor
-            window_min=5,
-            window_max=15,
-            use_rotation_perturbations=True,
-        )
-        metric = "vga_5000pt_w15_dense_pipeline_throughput"
-    else:
-        cfg = TrackerConfig(
-            num_frame_slots=10,           # window_max + 2 (device-loop invariant)
-            landmarks_per_frame=250,      # 250*8 slots = 2000 active points
-            immature_per_frame=800,
-            desired_points=2000,
-            frontend_points=2000,
-            keyframe_factor=1.25,         # standart.yaml keyframe_strategy.factor
-            window_min=5,                 # marginalization_strategy.minimum_size
-            window_max=8,                 # marginalization_strategy.maximum_size
-            use_rotation_perturbations=True,
-        )
-        metric = "vga_2000pt_w8_pipeline_throughput"
     tracker = MonocularTracker(cam, cfg, dtype=jnp.float32)
-
     for i in range(INIT_FRAMES):
         pose = SE3(jnp.asarray(seq.pose_t_wc(i).q, jnp.float32),
                    jnp.asarray(seq.pose_t_wc(i).t, jnp.float32))
         tracker.tick(i, float(seq.timestamps[i]), seq.images[i],
                      known_pose=pose, force_keyframe=(i == INIT_FRAMES - 1))
+    return tracker
 
+
+def measure_point(seq, cfg, metric, with_stage_split=False):
+    """Bootstrap + compile + steady-state throughput for one operating
+    point.  Returns the JSON row."""
+    from dsopp_tpu.tracker.device_loop import PipelinedTracker
+
+    tracker = bootstrap(seq, cfg)
     images = [jnp.asarray(seq.images[i], jnp.float32)
               for i in range(INIT_FRAMES, NUM_FRAMES)]
     _ = np.asarray(images[-1].ravel()[0])  # hard barrier: uploads done
@@ -152,35 +161,38 @@ def main():
     pipe.tick(INIT_FRAMES, float(seq.timestamps[INIT_FRAMES]), images[0])
     _ = np.asarray(pipe.state.window.eps.ravel()[0])
     compile_reg = time.time() - t0
-    log(f"compile+run first tick: {compile_reg:.1f}s")
+    log(f"[{metric}] compile+run first tick: {compile_reg:.1f}s")
     t0 = time.time()
     pipe.tick(INIT_FRAMES + 1, float(seq.timestamps[INIT_FRAMES + 1]),
               images[1], force_keyframe=True)
     _ = np.asarray(pipe.state.window.eps.ravel()[0])
     compile_kf = time.time() - t0
-    log(f"compile+run first keyframe tick: {compile_kf:.1f}s")
+    log(f"[{metric}] compile+run first keyframe tick: {compile_kf:.1f}s")
 
     flops_per_tick = tick_flops(pipe, images[0])
 
-    # ---- per-stage breakdown (synchronized; stderr only) -----------------
-    lat, kf_flags = [], []
-    for j, i in enumerate(range(INIT_FRAMES + 2, min(INIT_FRAMES + 26, NUM_FRAMES))):
-        t0 = time.time()
-        pipe.tick(i, float(seq.timestamps[i]), images[j + 2])
-        _ = np.asarray(pipe.state.window.eps.ravel()[0])
-        lat.append(time.time() - t0)
-        kf_flags.append(bool(jax.device_get(pipe.pending[-1][2].is_keyframe)))
-    reg = [d for d, k in zip(lat, kf_flags) if not k]
-    kfs = [d for d, k in zip(lat, kf_flags) if k]
-    if reg:
-        log(f"stage regular-frame tick (sync, incl ~25ms RTT): n={len(reg)} "
-            f"p50={np.percentile(reg, 50)*1e3:.1f}ms")
-    if kfs:
-        log(f"stage keyframe tick (sync, incl RTT): n={len(kfs)} "
-            f"p50={np.percentile(kfs, 50)*1e3:.1f}ms")
+    if with_stage_split:
+        lat, kf_flags = [], []
+        for j, i in enumerate(range(INIT_FRAMES + 2,
+                                    min(INIT_FRAMES + 26, NUM_FRAMES))):
+            t0 = time.time()
+            pipe.tick(i, float(seq.timestamps[i]), images[j + 2])
+            _ = np.asarray(pipe.state.window.eps.ravel()[0])
+            lat.append(time.time() - t0)
+            kf_flags.append(bool(jax.device_get(
+                pipe.pending[-1][2].is_keyframe)))
+        reg = [d for d, k in zip(lat, kf_flags) if not k]
+        kfs = [d for d, k in zip(lat, kf_flags) if k]
+        if reg:
+            log(f"[{metric}] regular tick (sync, incl ~25ms RTT): "
+                f"n={len(reg)} p50={np.percentile(reg, 50)*1e3:.1f}ms")
+        if kfs:
+            log(f"[{metric}] keyframe tick (sync, incl RTT): "
+                f"n={len(kfs)} p50={np.percentile(kfs, 50)*1e3:.1f}ms")
 
     # ---- steady-state pipelined throughput (the metric) ------------------
-    pipe2 = PipelinedTracker(tracker, flush_every=1000)
+    tracker2 = bootstrap(seq, cfg)
+    pipe2 = PipelinedTracker(tracker2, flush_every=1000)
     pipe2.tick(INIT_FRAMES, float(seq.timestamps[INIT_FRAMES]), images[0])
     _ = np.asarray(pipe2.state.window.eps.ravel()[0])
     t0 = time.time()
@@ -190,28 +202,76 @@ def main():
         n += 1
     _ = np.asarray(pipe2.state.window.eps.ravel()[0])
     elapsed = time.time() - t0
-    n_kf = int(np.sum(jax.device_get(
-        [d.is_keyframe for (_, _, d) in pipe2.pending])))
-    log(f"steady state: {n} frames ({n_kf} keyframes) in {elapsed:.2f}s")
+    flags = jax.device_get([(d.is_keyframe, d.escalated)
+                            for (_, _, d) in pipe2.pending])
+    n_kf = int(np.sum([k for k, _ in flags]))
+    n_esc = int(np.sum([e for _, e in flags]))
+    log(f"[{metric}] steady state: {n} frames ({n_kf} keyframes, "
+        f"{n_esc} escalations) in {elapsed:.2f}s")
 
     fps = n / elapsed
-    mfu = (flops_per_tick * fps) / PEAK_BF16 if flops_per_tick else None
-    mfu_f32 = (flops_per_tick * fps) / PEAK_F32 if flops_per_tick else None
-    if mfu is not None:
-        log(f"flops/tick (XLA cost analysis): {flops_per_tick/1e9:.2f} GFLOP "
-            f"-> MFU {mfu*100:.3f}% of bf16 peak / {mfu_f32*100:.3f}% of f32 peak")
-
-    out = {
+    row = {
         "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
         "compile_s": round(compile_reg + compile_kf, 1),
+        "keyframes": n_kf,
+        "escalations": n_esc,
+        "frames": n,
     }
-    if mfu is not None:
-        out["mfu"] = round(mfu, 5)
-        out["mfu_f32"] = round(mfu_f32, 5)
-        out["gflop_per_frame"] = round(flops_per_tick / 1e9, 2)
+    if flops_per_tick:
+        mfu = (flops_per_tick * fps) / PEAK_BF16
+        row["mfu"] = round(mfu, 5)
+        row["mfu_f32"] = round((flops_per_tick * fps) / PEAK_F32, 5)
+        row["gflop_per_frame"] = round(flops_per_tick / 1e9, 2)
+        log(f"[{metric}] flops/tick: {flops_per_tick/1e9:.2f} GFLOP -> "
+            f"MFU {mfu*100:.3f}% of bf16 peak")
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dense", action="store_true",
+                    help="dense.yaml operating point as the headline")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the extra operating-point rows")
+    args = ap.parse_args()
+
+    from dsopp_tpu.testing import render_sequence
+
+    t0 = time.time()
+    seq = render_sequence(num_frames=NUM_FRAMES, height=HEIGHT, width=WIDTH,
+                          focal=FOCAL, advance=0.08, backend="jax")
+    log(f"render: {time.time()-t0:.1f}s")
+
+    if args.dense:
+        head = measure_point(seq, dense_config(),
+                             "vga_5000pt_w15_dense_pipeline_throughput",
+                             with_stage_split=True)
+        rows = []
+    else:
+        head = measure_point(seq, standart_config(),
+                             "vga_2000pt_w8_pipeline_throughput",
+                             with_stage_split=True)
+        rows = []
+        if not args.headline_only:
+            # faster-motion profile: same shapes -> same compiled programs
+            t0 = time.time()
+            seq_fast = render_sequence(
+                num_frames=NUM_FRAMES, height=HEIGHT, width=WIDTH,
+                focal=FOCAL, advance=0.13, seed=11, backend="jax")
+            log(f"render fast-motion: {time.time()-t0:.1f}s")
+            rows.append(measure_point(
+                seq_fast, standart_config(),
+                "vga_2000pt_w8_fast_motion_throughput"))
+            rows.append(measure_point(
+                seq, dense_config(),
+                "vga_5000pt_w15_dense_pipeline_throughput"))
+
+    out = dict(head)
+    if rows:
+        out["rows"] = rows
     print(json.dumps(out))
 
 

@@ -31,6 +31,19 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--deterministic", action="store_true",
                         help="single-device deterministic execution")
+    parser.add_argument("--refine_calibration", action="store_true",
+                        help="optimize the camera calibration over a frame "
+                             "segment and print the refined model instead "
+                             "of tracking (reference dsopp_main.cpp:30)")
+    parser.add_argument("--start_frame", type=int, default=0,
+                        help="first frame of the calibration segment")
+    parser.add_argument("--frames_number", type=int, default=80,
+                        help="number of frames in the calibration segment")
+    parser.add_argument("--fix_focal", action="store_true",
+                        help="keep focal fixed during calibration refinement")
+    parser.add_argument("--fix_center", action="store_true",
+                        help="keep the principal point fixed during "
+                             "calibration refinement")
     parser.add_argument("--host-loop", action="store_true",
                         help="drive the per-frame loop from the host instead "
                              "of the device-resident pipeline (debug escape "
@@ -65,6 +78,9 @@ def main(argv=None):
         config, base_dir, jnp.float64 if args.float64 else jnp.float32)
     if args.host_loop:
         app.use_device_loop = False
+
+    if args.refine_calibration:
+        return _refine_calibration(app, args)
 
     t0 = time.time()
     frame_times = []
@@ -110,6 +126,48 @@ def main(argv=None):
         entries = app.tracker.track.trajectory(app.tracker.window)
         export_tum(args.trajectory_file_path, entries)
         print(f"trajectory written to {args.trajectory_file_path}")
+    return 0
+
+
+def _refine_calibration(app, args):
+    """Optimize the pinhole calibration over a frame segment and print the
+    refined model (reference DSOPP::refineCalibration, dsopp.hpp:86 — the
+    gflags segment [start_frame, start_frame+frames_number) feeds the
+    geometric BA's intrinsics refinement)."""
+    import numpy as np
+
+    from dsopp_tpu.fbs.geometric_ba import refine_intrinsics
+    from dsopp_tpu.fbs.initializer import InitializerOptions, MonocularInitializer
+
+    model = app.camera.camera_model()
+    opts = InitializerOptions(max_frames=max(args.frames_number, 5))
+    init = MonocularInitializer(camera=model, options=opts)
+
+    n = 0
+    seen = 0
+    while True:
+        frame = app._next_frame()
+        if frame is None or seen >= args.start_frame + args.frames_number:
+            break
+        seen += 1
+        if seen <= args.start_frame:
+            continue
+        done = init.process(frame.frame_id, frame.timestamp,
+                            np.asarray(frame.image))
+        n += 1
+        if done:
+            break
+    if not getattr(init, "calib_data", None):
+        print("calibration refinement failed: initializer did not converge "
+              f"({n} frames)")
+        return 1
+    poses_r, poses_t, pts, obs_f, obs_p, obs_px = init.calib_data
+    _, _, _, (fx, fy, cx, cy), rms = refine_intrinsics(
+        poses_r, poses_t, pts, obs_f, obs_p, obs_px,
+        model.fx, model.fy, model.cx, model.cy,
+        fix_focal=args.fix_focal, fix_center=args.fix_center)
+    print(f"refined camera model: pinhole fx={fx:.4f} fy={fy:.4f} "
+          f"cx={cx:.4f} cy={cy:.4f} (rms {rms:.3f} px over {n} frames)")
     return 0
 
 

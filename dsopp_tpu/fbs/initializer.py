@@ -279,9 +279,18 @@ class MonocularInitializer:
         obs_p = np.concatenate(obs_p)
         obs_m = np.concatenate(obs_m)
 
+        # pixel observations retained for app-level calibration refinement
+        # (--refine_calibration → geometric_ba.refine_intrinsics)
+        obs_px = np.concatenate([
+            fr.points[track_idx][np.isfinite(fr.points[track_idx, 0])]
+            for fr in self.frames
+            if np.isfinite(fr.points[track_idx, 0]).any()])
+
         poses_r, poses_t, points3d, rms = refine(
             poses_r, poses_t, points3d, obs_f, obs_p, obs_m,
             huber=self._threshold_norm(2.0))
+        self.calib_data = (poses_r.copy(), poses_t.copy(), points3d.copy(),
+                           obs_f, obs_p, obs_px)
 
         # world = first camera; T_wc = inverse of world→cam
         poses = []

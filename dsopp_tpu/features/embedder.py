@@ -31,16 +31,24 @@ class IdentityEmbedder:
 class FilterBankEmbedder:
     """Fixed linear filter bank: C channels via depthwise 3×3 convolution.
 
-    A stand-in for learned GN-Net embeddings with the same contract; the
-    default bank is (identity, Scharr-x, Scharr-y) — brightness plus two
-    contrast-normalized gradient orientations (C=3).
+    A stand-in for learned GN-Net embeddings with the same contract.  The
+    default bank is the identity plus two lightly-smoothed mixtures —
+    channels whose gradient structure stays close to the intensity plane.
+    Measured (r5): hand-crafted high-frequency banks (Scharr, box blur)
+    genuinely DEGRADE the photometric BA on this content (0.04 → 0.11–0.18 m
+    on the corridor suite; the C>1 machinery itself is exact — three
+    identical channels track at C=1 parity), which is precisely why the
+    reference's gn_net channels are learned, not hand-crafted.  Pass
+    ``filters`` explicitly for a custom bank (e.g. Scharr for testing).
     """
 
     def __init__(self, filters=None):
         if filters is None:
             ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
-            scharr = jnp.asarray([[-3.0, 0, 3], [-10, 0, 10], [-3, 0, 3]]) / 32.0
-            filters = jnp.stack([ident, scharr, scharr.T])
+            blur = jnp.ones((3, 3)) / 9.0
+            filters = jnp.stack([ident,
+                                 0.85 * ident + 0.15 * blur,
+                                 0.7 * ident + 0.3 * blur])
         self.filters = jnp.asarray(filters)
         self.channels = int(self.filters.shape[0])
 

@@ -37,6 +37,7 @@ iterations/keyframe, each a single device program).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -49,10 +50,16 @@ from dsopp_tpu.core.lie import SE3
 from dsopp_tpu.core.pattern import PATTERN_CENTER, PATTERN_SIZE, shift_pattern
 from dsopp_tpu.core.reproject import reproject, reproject_jacobian
 from dsopp_tpu.ops import pack_corners, sample_packed
+
 from dsopp_tpu.ops.patch import (PATCH_LANES, pack_patch_table,
                                  pack_patch_table_c, patch_center_row,
                                  sample_pattern_rows)
 from dsopp_tpu.solvers.measure import huber_energy_weight
+
+# DSOPP_CHECK_FRAME_COUNT_CACHE=1 verifies the host-side frame-count memo
+# against the device on every read (costs one readback per call; CI only)
+_CHECK_FRAME_COUNT_CACHE = bool(
+    int(os.environ.get("DSOPP_CHECK_FRAME_COUNT_CACHE", "0")))
 
 # residual connection statuses (reference track::PointConnectionStatus)
 RES_OK = 0
@@ -171,6 +178,15 @@ class Window:
         if cached is None:
             cached = int(np.asarray(jnp.sum(self.frame_valid)))
             object.__setattr__(self, "_frame_count_cache", cached)
+        elif _CHECK_FRAME_COUNT_CACHE and not isinstance(
+                self.frame_valid, jax.core.Tracer):
+            # opt-in guard of the push/marginalize-path cache writers (a
+            # stale cache silently desynchronizes every slot computation);
+            # off by default — the verification readback is the round-trip
+            # the cache exists to avoid
+            actual = int(np.asarray(jnp.sum(self.frame_valid)))
+            assert cached == actual, (
+                f"_frame_count_cache {cached} != device frame count {actual}")
         return cached
 
 

@@ -114,6 +114,31 @@ def _activation_kernel(window: Window, model, imm: ImmaturePoints,
     return activate, delete, n_active
 
 
+def embedded_patches(window: Window, uv):
+    """[K, M, C·P] channel-major reference patches sampled at ``uv`` from
+    each host keyframe's embedded channels (the window patch tables).
+
+    The immature bank carries INTENSITY patches only — the reference's
+    epipolar tracer is hard-wired C=1 (monocular_tracker.cpp:470
+    ``estimateDepths<..., Grid2D, 1>``) — so when a candidate activates
+    into a C>1 window its C-channel reference patch is sampled here, from
+    the same table rows the BA residual pass reads
+    (local_frame.hpp:174-221 8C residual blocks).
+    """
+    h, w = window.maps.shape[-2:]
+    c = window.num_channels
+    row, bx, by = patch_center_row(uv, h, w)                 # [K, M]
+    base = window.patch_map[:, None] * (c * h * w)           # [K, 1]
+    tbl = window.patch.reshape(-1, window.patch.shape[-1])
+    pat = shift_pattern(uv)                                  # [K, M, P, 2]
+    chans = []
+    for ch in range(c):
+        rows = jnp.take(tbl, base + ch * h * w + row, axis=0)
+        vals, _, _, _ = sample_pattern_rows(rows, pat, bx, by, h, w)
+        chans.append(vals)
+    return jnp.concatenate(chans, axis=-1)                   # [K, M, C·P]
+
+
 MAX_ENERGY_FOR_INLIERS = PATTERN_SIZE * 12.0 * 12.0  # landmarks_activator.cpp:124
 REFINE_ITERATIONS = 3        # optimizeImmatureLandmark options (:286-292)
 REFINE_REG0 = 0.1
@@ -262,6 +287,10 @@ def _activation_scatter(window: Window, imm: ImmaturePoints, activate, delete):
     m = imm.uv.shape[1]
     r = min(n, m)
 
+    # C>1 window: the stored reference patch is the C-channel embedded one
+    act_patch = (imm.patch if window.num_channels == 1
+                 else embedded_patches(window, imm.uv))
+
     def per_slot(lm_uv, lm_patch, lm_idepth, lm_valid, status_a,
                  i_uv, i_patch, i_idepth, i_valid, act, dele):
         free_order = jnp.argsort(
@@ -286,7 +315,7 @@ def _activation_scatter(window: Window, imm: ImmaturePoints, activate, delete):
     (lm_uv, lm_patch, lm_idepth, lm_valid, status, imm_valid, takes) = jax.vmap(
         per_slot
     )(window.lm_uv, window.lm_patch, window.lm_idepth, window.lm_valid,
-      window.res_status, imm.uv, imm.patch, imm.idepth, imm.valid,
+      window.res_status, imm.uv, act_patch, imm.idepth, imm.valid,
       activate, delete)
 
     import dataclasses as dc

@@ -56,18 +56,27 @@ def fused_keyframe_push(
     huber_sigma: float,
     immature_per_frame: int,
     mask=None,                 # [H, W] bool candidate-selection mask
+    exposure=None,             # scalar exposure time of the new keyframe
+    embed=None,                # [C, H, W] frame-embedder channels (C>1)
 ) -> FusedKeyframeResult:
     n = window.num_landmark_slots
     dtype = window.lm_uv.dtype
     slot = jnp.sum(window.frame_valid).astype(jnp.int32)
+    exposure = (jnp.asarray(1.0, dtype) if exposure is None
+                else jnp.asarray(exposure, dtype))
+    embed = pixel_map0[:1] if embed is None else embed
+    if embed.shape[0] != window.num_channels:
+        raise ValueError(
+            f"embedder produced {embed.shape[0]} channels for a "
+            f"{window.num_channels}-channel window")
 
     # ---- push the frame (no landmarks yet; activation fills them) -----
     window = _push_frame_kernel(
         window, slot, pose_q, pose_t, affine,
-        jnp.asarray(1.0, dtype), jnp.asarray(False), frame_id,
+        exposure, jnp.asarray(False), frame_id,
         jnp.zeros((n, 2), dtype), jnp.zeros((n, window.lm_patch.shape[-1]), dtype),
         jnp.zeros((n,), dtype), jnp.asarray(0, jnp.int32), pixel_map0,
-        pixel_map0[:1])
+        embed)
 
     # ---- fresh immature bank from the new frame's candidates ----------
     # mask = the sensor's CameraMask (semantic-filtered upstream);

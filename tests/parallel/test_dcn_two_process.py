@@ -76,6 +76,47 @@ assert err < 1e-3, f"proc {pid}: eps mismatch {err:.3e}"
 assert eerr < 1e-3, f"proc {pid}: energy mismatch {eerr:.3e}"
 print(f"proc {pid}: DCN sharded == local (eps {err:.2e}, energy {eerr:.2e})",
       flush=True)
+
+# ---- full backend across the boundary: LM while_loop + df64 fold -------
+# (VERDICT r4 item 6: one BA iteration is where collective bugs are easy;
+# the accept/reject while_loop + marginalization ledger fold is where they
+# hide.)  f64 working precision: at f32 the accept thresholds can flip
+# under partitioned-reduction rounding.
+jax.config.update("jax_enable_x64", True)
+import dataclasses
+from dsopp_tpu.solvers.pba import _marginalize_device, _solve_loop_device
+from dsopp_tpu.tracker.marginalization import kept_first_perm
+
+windows64 = []
+for s in range(2):
+    w64, cam64 = graft._tiny_problem(dtype=jnp.float64, landmarks=64, size=48)
+    windows64.append(w64)
+stacked64 = stack_windows(windows64)
+opts64 = PBAOptions()
+
+def solve_and_marginalize(w):
+    w, _e, _n = _solve_loop_device(w, cam64, opts64)
+    frame_flags = jnp.zeros(w.frame_valid.shape, bool).at[1].set(True)
+    lm_flags = w.lm_valid & frame_flags[:, None]
+    w = dataclasses.replace(w, frame_marg=frame_flags, lm_marg_flag=lm_flags)
+    perm = kept_first_perm(w.frame_valid, frame_flags)
+    return _marginalize_device(w, cam64, perm, opts64, True, True)
+
+sharded64 = shard_windows(stacked64, mesh)
+with mesh:
+    out = jax.jit(jax.vmap(solve_and_marginalize))(sharded64)
+    eps64 = np.asarray(multihost_utils.process_allgather(out.eps, tiled=True))
+    hm = np.asarray(multihost_utils.process_allgather(out.h_marg, tiled=True))
+    bm = np.asarray(multihost_utils.process_allgather(out.b_marg, tiled=True))
+ref = jax.jit(jax.vmap(solve_and_marginalize))(stacked64)
+assert np.max(np.abs(np.asarray(ref.h_marg))) > 0.0, "empty ledger after fold"
+for name, a, b in (("eps", eps64, np.asarray(ref.eps)),
+                   ("h_marg", hm, np.asarray(ref.h_marg)),
+                   ("b_marg", bm, np.asarray(ref.b_marg))):
+    scale = max(1.0, np.max(np.abs(b)))
+    e2 = np.max(np.abs(a - b)) / scale
+    assert e2 < 1e-6, f"proc {pid}: full-solver {name} mismatch {e2:.3e}"
+print(f"proc {pid}: DCN full solve+fold == local", flush=True)
 """
 
 
@@ -114,3 +155,4 @@ def test_two_process_hybrid_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert "DCN sharded == local" in out, out[-2000:]
+        assert "DCN full solve+fold == local" in out, out[-2000:]
