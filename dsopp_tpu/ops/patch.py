@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PATCH_WIN = 10      # window side: pattern ±2, bilinear +1, gradient halo ±1
 PATCH_LO = 4        # window top-left = floor(center) − PATCH_LO
@@ -47,16 +48,32 @@ def pack_patch_table(image):
     """[H, W] intensity image → [H·W, 128] per-pixel 10×10 window rows.
 
     Row p (pixel y, x) holds pixels (y−4..y+5, x−4..x+5) dy-major in lanes
-    0..99 (zeros outside the image), lanes 100..127 zero.  Built as one
-    patch-extraction convolution (no padded per-shift temporaries).
+    0..99 (zeros outside the image), lanes 100..127 zero.
+
+    Built as TWO separable NHWC one-hot convolutions (vertical 1→10
+    channels, then horizontal 10→100): the window index lands directly on
+    the LANE (channel) axis, so the table materializes in its final
+    [H·W, lanes] layout with no transpose.  Measured per VGA table on the
+    v5e: conv_general_dilated_patches + 123 MB lane/sublane transpose
+    5.6 ms → one-shot NHWC conv 4.4 ms → separable form 2.0 ms.
     """
     h, w = image.shape
     hi = PATCH_WIN - 1 - PATCH_LO
-    patches = jax.lax.conv_general_dilated_patches(
-        image[None, None], (PATCH_WIN, PATCH_WIN), (1, 1),
-        [(PATCH_LO, hi), (PATCH_LO, hi)])          # [1, 100, H, W]
-    t = patches.reshape(PATCH_WIN * PATCH_WIN, h * w).T
-    return jnp.pad(t, ((0, 0), (0, PATCH_LANES - PATCH_WIN * PATCH_WIN)))
+    n = PATCH_WIN * PATCH_WIN
+    kv = jnp.zeros((PATCH_WIN, 1, 1, PATCH_WIN), image.dtype)
+    kv = kv.at[jnp.arange(PATCH_WIN), 0, 0, jnp.arange(PATCH_WIN)].set(1.0)
+    ov = jax.lax.conv_general_dilated(
+        image[None, :, :, None], kv, (1, 1), [(PATCH_LO, hi), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))     # [1, H, W, 10ky]
+    kh = np.zeros((1, PATCH_WIN, PATCH_WIN, n), np.float32)
+    for ky in range(PATCH_WIN):
+        for kx in range(PATCH_WIN):
+            kh[0, kx, ky, ky * PATCH_WIN + kx] = 1.0
+    out = jax.lax.conv_general_dilated(
+        ov, jnp.asarray(kh, image.dtype), (1, 1), [(0, 0), (PATCH_LO, hi)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))     # [1, H, W, 100]
+    t = out[0].reshape(h * w, n)
+    return jnp.pad(t, ((0, 0), (0, PATCH_LANES - n)))
 
 
 def pack_patch_table_c(channels):

@@ -24,7 +24,7 @@ H, W = 120, 160
 CFG = TrackerConfig(
     num_frame_slots=7, landmarks_per_frame=128, immature_per_frame=256,
     desired_points=600, frontend_points=800, keyframe_factor=3.0,
-    window_min=3, window_max=5, use_rotation_perturbations=False,
+    window_min=2, window_max=3, use_rotation_perturbations=False,
     embedder="filter_bank")
 
 
