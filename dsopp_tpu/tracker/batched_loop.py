@@ -43,10 +43,14 @@ _batched_tick = jax.vmap(
     device_tick, in_axes=(0, 0, 0, 0, None, None, None, 0))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def batched_device_tick(states, images, frame_ids, force_kfs, models, mask,
                         cfg: DeviceLoopConfig, exposures=None):
-    """One tracked frame for B sequences as ONE device program."""
+    """One tracked frame for B sequences as ONE device program.
+
+    ``states`` is DONATED (see ``device_tick`` — the nested donation does
+    not apply once inlined here, so the batched entry point donates too);
+    callers must treat the passed states as consumed."""
     if exposures is None:
         exposures = jnp.ones(images.shape[0], images.dtype)
     return _batched_tick(states, images, frame_ids, force_kfs, models, mask,

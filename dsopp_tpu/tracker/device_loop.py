@@ -120,10 +120,16 @@ class TickDiag(NamedTuple):
     lm_baseline: jnp.ndarray   # [K, N]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
                 models, mask, cfg: DeviceLoopConfig, exposure=None):
     """One tracked frame as ONE device program → (state', diag).
+
+    ``state`` is DONATED: the ~1.6 GB window banks (patch tables, maps)
+    alias into the output instead of being copied through the keyframe
+    ``lax.cond`` select on every regular frame (measured −5 ms/frame on the
+    v5e; callers must treat the passed state as consumed — the pipelined
+    drivers always overwrite it).
 
     ``mask``: [H, W] bool candidate-selection mask (CameraMask, possibly
     semantic-filtered for this frame); ``exposure``: the frame's exposure
@@ -322,7 +328,11 @@ class PipelinedTracker:
             width=tracker.image_shape[1],
         )
         d = self.dtype
-        self.state = DeviceTrackerState(
+        # the state is DONATED into every device_tick — copy the leaves so
+        # the wrapped tracker's own arrays (window banks etc.) survive the
+        # first tick (finalize() writes the latest state back)
+        self.state = jax.tree_util.tree_map(
+            jnp.copy, DeviceTrackerState(
             window=tracker.window,
             immature=tracker.immature,
             depth_idepth=tuple(tracker.depth_maps[0]),
@@ -338,7 +348,7 @@ class PipelinedTracker:
             kf_rmse=jnp.asarray(tracker.keyframe_strategy._rmse, d),
             min_distance=jnp.asarray(
                 tracker.activator.min_distance_to_neighbor, d),
-        )
+        ))
         self.mask = tracker.mask
         self.cur_kf = tracker._kf_id()
         self.num_keyframes = tracker.num_keyframes

@@ -159,22 +159,19 @@ def fused_regular_tick(
             [jnp.arange(total), jnp.zeros((pad,), jnp.int32)])
         chunks_q = pert.q[pad_idx].reshape(-1, chunk_size, 4)
         chunks_t = pert.t[pad_idx].reshape(-1, chunk_size, 3)
+        nchunks = chunks_q.shape[0]
 
-        def scan_body(carry, chunk):
+        # while_loop (not scan): the steady state runs chunk 0 and ONE
+        # condition check — a scan paid ~21 dead skip-iterations per frame
+        def loop_cond(carry):
+            i, run_rest = carry[0], carry[1]
+            return (i < nchunks) & ((i == 0) | run_rest)
+
+        def loop_body(carry):
             (i, run_rest, cq, ct, c_aff, c_rmse, c_valid, c_score) = carry
-            cq_, ct_ = chunk
-            run = (i == 0) | run_rest
-
-            def live(_):
-                return run_chunk(cq_, ct_)
-
-            def skip(_):
-                return (cq, ct, c_aff, jnp.asarray(jnp.inf, dtype),
-                        jnp.asarray(0, c_valid.dtype),
-                        jnp.asarray(jnp.inf, dtype))
-
-            oq, ot, o_aff, o_rmse, o_valid, o_score = jax.lax.cond(
-                run, live, skip, None)
+            oq, ot, o_aff, o_rmse, o_valid, o_score = run_chunk(
+                jax.lax.dynamic_index_in_dim(chunks_q, i, keepdims=False),
+                jax.lax.dynamic_index_in_dim(chunks_t, i, keepdims=False))
             is0 = i == 0
             # chunk 0 initializes the running best and decides escalation
             failed = (o_valid == 0) | (o_rmse >= thr)
@@ -187,13 +184,13 @@ def fused_regular_tick(
             c_valid = jnp.where(take, o_valid, c_valid)
             c_score = jnp.where(take, o_score, c_score)
             return (i + 1, run_rest, cq, ct, c_aff, c_rmse, c_valid,
-                    c_score), None
+                    c_score)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
                 jnp.zeros(4, dtype), jnp.zeros(3, dtype),
                 jnp.zeros(2, dtype), jnp.asarray(jnp.inf, dtype),
                 jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype))
-        carry, _ = jax.lax.scan(scan_body, init, (chunks_q, chunks_t))
+        carry = jax.lax.while_loop(loop_cond, loop_body, init)
         (_, escalated, bq, bt, b_affine, b_rmse, b_valid, b_score) = carry
 
     t_t_kf = SE3(bq, bt)
