@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--deterministic", action="store_true",
                         help="single-device deterministic execution")
+    parser.add_argument("--visualization", action="store_true",
+                        help="serve the live 3D viewer over HTTP while "
+                             "tracking (reference dsopp_main.cpp:28 "
+                             "visualization flag; headless-ready)")
+    parser.add_argument("--visualization_port", type=int, default=8642)
     parser.add_argument("--refine_calibration", action="store_true",
                         help="optimize the camera calibration over a frame "
                              "segment and print the refined model instead "
@@ -82,6 +87,14 @@ def main(argv=None):
     if args.refine_calibration:
         return _refine_calibration(app, args)
 
+    viewer = None
+    if args.visualization:
+        from dsopp_tpu.output.live_viewer import LiveViewer
+
+        viewer = LiveViewer(app.camera.camera_model(),
+                            port=args.visualization_port)
+        print(f"live viewer: http://localhost:{viewer.port}/", flush=True)
+
     t0 = time.time()
     frame_times = []
 
@@ -95,7 +108,8 @@ def main(argv=None):
         kind = "KF" if result.get("keyframe") else "  "
         print(f"frame {frame.frame_id} {kind} fps(50)={fps:5.1f}", flush=True)
 
-    n = app.run(max_frames=args.max_frames, on_frame=on_frame)
+    n = app.run(max_frames=args.max_frames, on_frame=on_frame,
+                observers=[viewer] if viewer else None)
     app.finish()
     total = time.time() - t0
     print(f"processed {n} frames in {total:.1f}s "

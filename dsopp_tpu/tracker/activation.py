@@ -176,10 +176,18 @@ def _refine_idepth_kernel(window: Window, model, imm: ImmaturePoints,
     dtype = imm.idepth.dtype
 
     # ---- compact the activating candidates into [cap] slots -------------
+    # NEWEST host bank first: with beyond-cap deferral (advisor r4), an
+    # index-ordered selection lets stale oldest-bank candidates monopolize
+    # the cap every tick — refine rejects them while fresh viable
+    # candidates starve (measured: dense-point activation collapsed to
+    # ~30/keyframe and the active population stalled at ~600 of 5000).
+    # Fresh candidates activate promptly; deferred old ones retry when
+    # capacity allows and clear when their host marginalizes.
     flat_act = activate.reshape(-1)
     n_flat = k * m
-    order = jnp.argsort(jnp.where(flat_act, jnp.arange(n_flat),
-                                  n_flat + jnp.arange(n_flat)))[:cap]
+    flat_idx = jnp.arange(n_flat)
+    rank = (k - 1 - flat_idx // m) * m + flat_idx % m
+    order = jnp.argsort(jnp.where(flat_act, rank, n_flat + flat_idx))[:cap]
     sel = flat_act[order]                                   # [cap]
     host = order // m                                       # [cap] anchor slot
     uv = imm.uv.reshape(n_flat, -1)[order]                  # [cap, 2]

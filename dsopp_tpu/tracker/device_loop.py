@@ -120,20 +120,14 @@ class TickDiag(NamedTuple):
     lm_baseline: jnp.ndarray   # [K, N]
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
-                models, mask, cfg: DeviceLoopConfig, exposure=None):
-    """One tracked frame as ONE device program → (state', diag).
+def _frontend_core(state: DeviceTrackerState, image, force_kf, models,
+                   cfg: DeviceLoopConfig, exposure=None):
+    """Per-frame frontend: fused regular tick + reliability ledger +
+    keyframe decision → (base_state, need_kf, front).
 
-    ``state`` is DONATED: the ~1.6 GB window banks (patch tables, maps)
-    alias into the output instead of being copied through the keyframe
-    ``lax.cond`` select on every regular frame (measured −5 ms/frame on the
-    v5e; callers must treat the passed state as consumed — the pipelined
-    drivers always overwrite it).
-
-    ``mask``: [H, W] bool candidate-selection mask (CameraMask, possibly
-    semantic-filtered for this frame); ``exposure``: the frame's exposure
-    time from the provider (1.0 when absent)."""
+    ``front`` is the FusedTickResult with ``immature`` stripped (it lives
+    in ``base``; keeping one copy lets both split-program arguments be
+    donated without aliasing the same buffer twice)."""
     dtype = image.dtype
     window = state.window
     poses = window.poses()
@@ -179,9 +173,16 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
         prev_q=t_prev_rel.q, prev_t=t_prev_rel.t,
         last_affine=out.affine,
         rmse_last0=rmse_last0, kf_rmse=kf_rmse)
+    return base, need_kf, out._replace(immature=None)
 
-    k = window.num_slots
-    n = window.num_landmark_slots
+
+def _backend_core(base: DeviceTrackerState, out, need_kf, frame_id, models,
+                  mask, cfg: DeviceLoopConfig, exposure):
+    """Keyframe-or-passthrough backend → (state', diag)."""
+    dtype = base.last_affine.dtype
+    rmse = out.rmse
+    k = base.window.num_slots
+    n = base.window.num_landmark_slots
 
     def _diag(is_kf, min_distance, energy, num_valid_solve, n_active,
               n_activated, frame_flags, kf_frame_id, kf_poses_mat, kf_affine,
@@ -287,6 +288,36 @@ def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
         return base, diag
 
     return jax.lax.cond(need_kf, keyframe_branch, regular_branch, None)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def device_tick(state: DeviceTrackerState, image, frame_id, force_kf,
+                models, mask, cfg: DeviceLoopConfig, exposure=None):
+    """One tracked frame as ONE device program → (state', diag).
+
+    ``state`` is DONATED: the ~1.6 GB window banks (patch tables, maps)
+    alias into the output instead of being copied through the keyframe
+    ``lax.cond`` select on every regular frame (measured −5 ms/frame on the
+    v5e; callers must treat the passed state as consumed — the pipelined
+    drivers always overwrite it).
+
+    ``mask``: [H, W] bool candidate-selection mask (CameraMask, possibly
+    semantic-filtered for this frame); ``exposure``: the frame's exposure
+    time from the provider (1.0 when absent).
+
+    Cold-compile record (r5, v5e): this program compiles in ~51 s
+    (frontend chain ~24 s + keyframe backend ~27 s).  A split-program
+    variant compiling the halves in parallel threads was measured at
+    ~60 s — the axon remote-compile helper serializes requests — and
+    xla exec_time_optimization_effort=-1 saved only ~2 s; both reverted.
+    The persistent compilation cache makes warm-process compile ~0.3 s."""
+    dtype = image.dtype
+    exposure = (jnp.asarray(1.0, dtype) if exposure is None
+                else jnp.asarray(exposure, dtype))
+    base, need_kf, front = _frontend_core(
+        state, image, force_kf, models, cfg, exposure)
+    return _backend_core(base, front, need_kf, frame_id, models, mask, cfg,
+                         exposure)
 
 
 class PipelinedTracker:

@@ -21,7 +21,7 @@ from dsopp_tpu.testing import render_sequence
 from dsopp_tpu.tracker.device_loop import PipelinedTracker
 from dsopp_tpu.tracker.monocular import MonocularTracker, TrackerConfig
 
-NUM_FRAMES = 88      # natural ~1-in-4 keyframe rate → >16 KFs → W=15 overflow
+NUM_FRAMES = 104     # natural ~1-in-4 keyframe rate → >16 KFs → W=15 overflow
 INIT_FRAMES = 8
 H, W = 240, 320
 
