@@ -71,14 +71,17 @@ def test_ate_within_gate(tracked):
         errs.append(float(jnp.linalg.norm(est.t - jnp.asarray(gt.t))))
     errs = np.asarray(errs)
     rmse = np.sqrt((errs ** 2).mean())
-    # tightened r4 from 3e-2/6e-2 (VERDICT r3 item 6): measured RMSE at
-    # this operating point is 1.82e-2 m — the gate sits ~20% above it.
+    # measured at this 240x320 operating point: RMSE 1.93e-2 m,
+    # max 2.65e-2 m (r5) — the gates sit ~15%/30% above the measurement.
     # Reference accuracy-gate scale: 1e-2 m on a 5-KF window
     # (test_photometric_bundle_adjustment.cpp:106-112); this run covers 32
     # tracked frames with marginalization, where monocular scale drift at
-    # keyframe solves dominates (frame-to-frame tracking is 4-14 mm).
+    # keyframe solves dominates.  At the PRODUCTION resolution the
+    # app-level harness measures corridor-a at 0.0077 m RMSE over 96
+    # frames (ATE.md) — below the reference's 1e-2 scale; the pytest
+    # config trades resolution for CPU suite time.
     assert rmse < 2.2e-2, f"trajectory ATE RMSE {rmse:.4f} m"
-    assert errs.max() < 4.5e-2, f"max pose error {errs.max():.4f} m"
+    assert errs.max() < 3.5e-2, f"max pose error {errs.max():.4f} m"
 
 
 def test_trajectory_export(tracked):
